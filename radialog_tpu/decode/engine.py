@@ -1,0 +1,143 @@
+"""Autoregressive generation engine: batched prefill + while-loop decode.
+
+Replaces the HF generate() loop driven by the reference
+(test.py:339-348 -> modeling_llama_imgemb.py prepare_inputs_for_generation)
+with a TPU-native engine:
+
+  * right-padded prompts, per-sequence lengths (vs. the reference's left
+    padding + unk-as-pad, test.py:288-304) — same RoPE positions, but prefill
+    is a single static-shape batched matmul-heavy pass;
+  * the image-embedding splice happens once at prefill
+    (modeling_llama_imgemb.py:571-594 only splices when past is None);
+  * decode is one jitted lax.while_loop over single-token steps against the
+    pre-allocated KV cache, with early exit when every sequence hit EOS —
+    no per-token host round-trips, no recompiles;
+  * greedy (reference eval default) and temperature sampling.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import (KVCache, LlamaConfig, decode_bias, find_img_start,
+                            init_cache, llama_apply, prefill_bias)
+from ..ops.layers import DTypePolicy, FP32
+from .kvcache import bucket_length, install_prefill
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeParams:
+    max_new_tokens: int = 300        # test.py:344
+    eos_token_id: int = 2
+    temperature: float = 1.0
+    do_sample: bool = False
+    seed: int = 42
+
+
+class GenerationResult(NamedTuple):
+    tokens: jax.Array        # (B, max_new) generated ids, eos-padded
+    lengths: jax.Array       # (B,) number of generated tokens incl. eos
+    prompt_lengths: jax.Array
+
+
+def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
+            lengths: jax.Array, cache_len: int,
+            img_embs: Optional[jax.Array] = None,
+            lora: Optional[Dict] = None,
+            policy: DTypePolicy = FP32):
+    """Run the prompt pass; returns (cache, last_logits).
+
+    tokens: (B, T) right-padded; lengths: (B,) true lengths;
+    cache_len: S_max for the pre-allocated cache (>= T + max_new).
+    """
+    b, t = tokens.shape
+    if img_embs is not None and img_embs.shape[1] != cfg.num_img_tokens:
+        raise ValueError(
+            f"img_embs provides {img_embs.shape[1]} embeddings but the prompt "
+            f"contract reserves cfg.num_img_tokens={cfg.num_img_tokens} <IMG> "
+            f"slots — a mismatched splice would silently overwrite prompt tokens")
+    positions = jnp.arange(t)[None, :].repeat(b, 0)
+    bias = prefill_bias(lengths, t)
+    img_start = find_img_start(tokens, cfg.img_token_id) if img_embs is not None else None
+    logits, fresh = llama_apply(params, cfg, tokens, positions, bias,
+                                cache=None, img_embs=img_embs,
+                                img_start=img_start, lora=lora, policy=policy)
+    cache = install_prefill(init_cache(cfg, b, cache_len), fresh)
+    last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    return cache, last
+
+
+def _select_token(logits: jax.Array, dp: DecodeParams, key) -> jax.Array:
+    if dp.do_sample:
+        return jax.random.categorical(key, logits / jnp.maximum(dp.temperature, 1e-6), axis=-1)
+    return jnp.argmax(logits, axis=-1)
+
+
+def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
+                first_logits: jax.Array, prompt_lengths: jax.Array,
+                dp: DecodeParams, lora: Optional[Dict] = None,
+                policy: DTypePolicy = FP32) -> GenerationResult:
+    """Greedy/sampled decode with early exit once all sequences emit EOS."""
+    b = first_logits.shape[0]
+    s_max = cache.max_len
+    max_new = dp.max_new_tokens
+    key0 = jax.random.PRNGKey(dp.seed)
+
+    tok0 = _select_token(first_logits, dp, key0)
+    out0 = jnp.full((b, max_new), dp.eos_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tok0.astype(jnp.int32))
+    done0 = tok0 == dp.eos_token_id
+
+    def cond(st):
+        step, _, _, done, _, _ = st
+        return (step < max_new) & ~done.all()
+
+    def body(st):
+        step, cache, out, done, last_tok, key = st
+        # current token sits at absolute position prompt_len + step
+        pos = (prompt_lengths + step)[:, None]
+        bias = decode_bias(prompt_lengths + step + 1, s_max)
+        logits, cache = llama_apply(
+            params, cfg, last_tok[:, None], pos, bias, cache=cache,
+            write_pos=prompt_lengths + step, lora=lora, policy=policy)
+        key, sub = jax.random.split(key)
+        nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
+        nxt = jnp.where(done, dp.eos_token_id, nxt)
+        out = out.at[:, step + 1].set(nxt)
+        done = done | (nxt == dp.eos_token_id)
+        return (step + 1, cache, out, done, nxt, key)
+
+    # write tok0's KV while generating tok1, etc.
+    init = (jnp.asarray(0), cache, out0, done0, tok0.astype(jnp.int32), key0)
+    step, cache, out, done, _, _ = jax.lax.while_loop(cond, body, init)
+
+    eos_hit = out == dp.eos_token_id
+    gen_len = jnp.where(eos_hit.any(1), jnp.argmax(eos_hit, 1) + 1, max_new)
+    return GenerationResult(out, gen_len, prompt_lengths)
+
+
+def generate(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
+             lengths: jax.Array, dp: DecodeParams = DecodeParams(),
+             img_embs: Optional[jax.Array] = None,
+             lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
+             cache_len: Optional[int] = None) -> GenerationResult:
+    """End-to-end: prefill + decode. ``tokens`` right-padded (B, T)."""
+    t = tokens.shape[1]
+    if cache_len is None:
+        cache_len = bucket_length(t + dp.max_new_tokens)
+    cache, last = prefill(params, cfg, tokens, lengths, cache_len,
+                          img_embs=img_embs, lora=lora, policy=policy)
+    return decode_loop(params, cfg, cache, last, lengths, dp, lora=lora,
+                       policy=policy)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dp", "cache_len", "policy"))
+def generate_jit(params, cfg: LlamaConfig, tokens, lengths,
+                 dp: DecodeParams, img_embs=None, lora=None,
+                 policy: DTypePolicy = FP32, cache_len: int = 1024):
+    return generate(params, cfg, tokens, lengths, dp, img_embs=img_embs,
+                    lora=lora, policy=policy, cache_len=cache_len)

@@ -1,0 +1,160 @@
+"""BLIP-2 stage-1 model: frozen BioViL-T + Q-Former + ITC/ITM/LM heads.
+
+Re-implements Blip2Qformer (blip2_qformer.py:27-399) functionally:
+
+  image -> biovil_t (frozen, J=1408) -> projected patches, channel-major
+  reshape to (B,196,1408) (quirk, blip2_qformer.py:96) -> ln_vision ->
+  Q-Former query pass (use_cache) -> ITC + ITM(hard negatives) + LM losses.
+
+Differences by design (TPU-first):
+  * hard-negative multinomial sampling uses jax.random.categorical so the
+    whole loss is one jittable function (reference loops on host with
+    torch.multinomial, blip2_qformer.py:314-330);
+  * the optional cross-device global-batch contrastive variant (the
+    commented-out path at blip2_qformer.py:134-280) is provided via
+    ``axis_name`` + jax.lax.all_gather in train/stage1.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import (DTypePolicy, FP32, layernorm, layernorm_init,
+                          linear, linear_init)
+from .biovil_t import biovil_t_apply, biovil_t_init, patch_tokens_for_qformer
+from .qformer import (QFormerConfig, lm_loss, qformer_image_grounded,
+                      qformer_init, qformer_lm, qformer_multimodal,
+                      qformer_text)
+
+
+@dataclasses.dataclass(frozen=True)
+class Blip2Config:
+    qformer: QFormerConfig = QFormerConfig()
+    embed_dim: int = 256            # ITC projection dim (blip2_qformer.py:55)
+    max_txt_len: int = 256          # blip2_pretrain_stage1.yaml:13
+    image_size: int = 448
+
+
+class Stage1Losses(NamedTuple):
+    loss: jax.Array
+    loss_itc: jax.Array
+    loss_itm: jax.Array
+    loss_lm: jax.Array
+
+
+def blip2_init(key, cfg: Blip2Config, with_vision: bool = True) -> Tuple[Dict, Dict]:
+    """Init (params, state). ``with_vision=False`` skips the BioViL trunk
+    (for tests or when image embeddings are precomputed)."""
+    ks = jax.random.split(key, 6)
+    h = cfg.qformer.bert.hidden_size
+    params: Dict = {
+        "qformer": qformer_init(ks[0], cfg.qformer),
+        "ln_vision": layernorm_init(cfg.qformer.encoder_width),
+        "vision_proj": linear_init(ks[1], h, cfg.embed_dim),
+        "text_proj": linear_init(ks[2], h, cfg.embed_dim),
+        "itm_head": linear_init(ks[3], h, 2),
+        "temp": jnp.asarray(0.07, jnp.float32),
+    }
+    state: Dict = {}
+    if with_vision:
+        params["visual"], state["visual"] = biovil_t_init(ks[4], joint_feature_size=cfg.qformer.encoder_width)
+    return params, state
+
+
+def blip2_encode_image(params: Dict, state: Dict, images: jax.Array,
+                       policy: DTypePolicy = FP32) -> jax.Array:
+    """images (B,448,448,3) -> ln_vision'd patch tokens (B,196,1408).
+    The trunk is frozen (blip2_qformer.py:66-71): callers should wrap in
+    lax.stop_gradient for training."""
+    out, _ = biovil_t_apply(params["visual"], state["visual"], images,
+                            train=False, policy=policy)
+    tokens = patch_tokens_for_qformer(out.projected_patch_embeddings)
+    return layernorm(params["ln_vision"], tokens)
+
+
+def blip2_forward_image(params: Dict, cfg: Blip2Config, image_embeds: jax.Array,
+                        policy: DTypePolicy = FP32) -> jax.Array:
+    """Q-Former query embeddings for the LLM (blip2_qformer.py:467-484).
+    Returns (B, 32, 768)."""
+    hidden, _ = qformer_image_grounded(params["qformer"], cfg.qformer,
+                                       image_embeds, policy=policy)
+    return hidden
+
+
+def _normalize(x: jax.Array) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def blip2_stage1_losses(params: Dict, cfg: Blip2Config, image_embeds: jax.Array,
+                        text_ids: jax.Array, text_mask: jax.Array,
+                        rng: jax.Array, policy: DTypePolicy = FP32
+                        ) -> Stage1Losses:
+    """ITC + ITM + LM over one in-batch sample set (blip2_qformer.py:281-399).
+
+    image_embeds: (B, 196, 1408) ln_vision'd (frozen-trunk) patch tokens.
+    text_ids/text_mask: (B, T) CLS-first BERT tokens, T <= max_txt_len.
+    """
+    qcfg = cfg.qformer
+    b = image_embeds.shape[0]
+    nq = qcfg.num_query_tokens
+
+    # ---- query pass (cached for LM) + text pass
+    query_hidden, query_cache = qformer_image_grounded(
+        params["qformer"], qcfg, image_embeds, use_cache=True, policy=policy)
+    image_feats = _normalize(linear(params["vision_proj"], query_hidden, policy)
+                             .astype(jnp.float32))                 # (B,nq,E)
+    text_hidden = qformer_text(params["qformer"], qcfg, text_ids, text_mask,
+                               policy=policy)
+    text_feat = _normalize(linear(params["text_proj"], text_hidden[:, 0], policy)
+                           .astype(jnp.float32))                   # (B,E)
+
+    # ---- ITC (in-batch; blip2_qformer.py:281-305)
+    sim_q2t = jnp.einsum("iqe,te->itq", image_feats, text_feat)
+    sim_i2t = sim_q2t.max(-1) / params["temp"]                     # (B,B)
+    sim_t2i = sim_i2t.T  # max over queries is symmetric in this in-batch case
+    targets = jnp.arange(b)
+    loss_itc = 0.5 * (_smoothed_ce(sim_i2t, targets, 0.1) +
+                      _smoothed_ce(sim_t2i, targets, 0.1))
+
+    # ---- ITM hard negatives (blip2_qformer.py:307-370)
+    eye = jnp.eye(b, dtype=bool)
+    w_t2i = jnp.where(eye, 0.0, jax.nn.softmax(jax.lax.stop_gradient(sim_t2i), -1) + 1e-4)
+    w_i2t = jnp.where(eye, 0.0, jax.nn.softmax(jax.lax.stop_gradient(sim_i2t), -1) + 1e-4)
+    k1, k2 = jax.random.split(rng)
+    neg_img_idx = jax.random.categorical(k1, jnp.log(w_t2i))       # (B,)
+    neg_txt_idx = jax.random.categorical(k2, jnp.log(w_i2t))
+
+    text_ids_all = jnp.concatenate([text_ids, text_ids, text_ids[neg_txt_idx]], 0)
+    text_mask_all = jnp.concatenate([text_mask, text_mask, text_mask[neg_txt_idx]], 0)
+    image_all = jnp.concatenate([image_embeds, image_embeds[neg_img_idx], image_embeds], 0)
+    attn_all = jnp.concatenate(
+        [jnp.ones((3 * b, nq), text_mask.dtype), text_mask_all], axis=1)
+    itm_hidden = qformer_multimodal(params["qformer"], qcfg, text_ids_all,
+                                    attn_all, image_all, policy=policy)
+    itm_logits = linear(params["itm_head"], itm_hidden[:, :nq], policy).mean(axis=1)
+    itm_labels = jnp.concatenate([jnp.ones((b,), jnp.int32),
+                                  jnp.zeros((2 * b,), jnp.int32)])
+    loss_itm = _smoothed_ce(itm_logits.astype(jnp.float32), itm_labels, 0.0)
+
+    # ---- LM captioning over cached queries (blip2_qformer.py:372-391)
+    dec_ids = text_ids.at[:, 0].set(qcfg.bos_token_id)
+    labels = jnp.where(dec_ids == qcfg.pad_token_id, -100, dec_ids)
+    lm_mask = jnp.concatenate([jnp.ones((b, nq), text_mask.dtype), text_mask], axis=1)
+    logits = qformer_lm(params["qformer"], qcfg, dec_ids, lm_mask, query_cache,
+                        policy=policy)
+    loss_lm = lm_loss(logits, labels, label_smoothing=0.1)
+
+    return Stage1Losses(loss=loss_itc + loss_itm + loss_lm,
+                        loss_itc=loss_itc, loss_itm=loss_itm, loss_lm=loss_lm)
+
+
+def _smoothed_ce(logits: jax.Array, targets: jax.Array, smoothing: float) -> jax.Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    if smoothing > 0:
+        smooth = -logp.mean(-1)
+        nll = (1 - smoothing) * nll + smoothing * smooth
+    return nll.mean()

@@ -1,0 +1,281 @@
+"""LLaMA decoder (Vicuna-7B v1.3) with LoRA adapters + image-embedding splice.
+
+Re-implements modeling_llama_imgemb.py (965 LoC of vendored HF LLaMA) as a
+functional, static-shape, TPU-first decoder:
+
+  * Right-padded prompts with per-sequence lengths (the reference left-pads,
+    test.py:288-304; both give identical RoPE positions because the reference
+    computes positions as cumsum(attention_mask)-1,
+    modeling_llama_imgemb.py:805-810 — here positions are simply 0..len-1).
+  * The 32 <IMG> placeholder tokens (id 32000) are replaced at prefill by
+    projected Q-Former embeddings with a vmapped dynamic_update_slice —
+    replacing the per-row python split loop (split_at_img,
+    modeling_llama_imgemb.py:498-520, the #1 pattern NOT to replicate).
+  * Pre-allocated KV cache (B, S_max, H, D) per layer, written by scatter at
+    per-sequence write offsets; decode attends the full cache under a
+    validity mask. Static shapes end to end -> one compile per bucket.
+  * LoRA (r=8, alpha=16 on q_proj/v_proj per finetune.py:309-318) applied as
+    y = Wx + (alpha/r) * B(Ax), with the trainable img_proj_layer (768->4096,
+    finetune.py:254,321-323) stored alongside the adapters.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import NEG_INF, mha
+from ..ops.layers import DTypePolicy, FP32, embedding_lookup, linear, rmsnorm
+from ..ops.rotary import apply_rope, rope_tables
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32001          # 32000 + <IMG> (finetune.py:257-258)
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 11008
+    max_position: int = 2048
+    rms_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    img_token_id: int = 32000
+    num_img_tokens: int = 32
+    qformer_dim: int = 768           # img_proj_layer input (test.py:295)
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    pad_token_id: int = 0            # unk-as-pad at eval (test.py:304)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+VICUNA_7B = LlamaConfig()
+TINY_LLAMA = LlamaConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                         num_heads=4, num_kv_heads=4, intermediate_size=128,
+                         max_position=128, img_token_id=250, num_img_tokens=4,
+                         qformer_dim=32)
+
+
+class KVCache(NamedTuple):
+    """Per-layer pre-allocated cache. k/v: (L, B, S_max, Hkv, D) in bf16."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ------------------------------------------------------------------------- init
+def _dense(key, shape):
+    fan_in = shape[0]
+    return (jax.random.normal(key, shape, jnp.float32) * (fan_in ** -0.5))
+
+
+def llama_init(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
+    ks = jax.random.split(key, cfg.num_layers + 3)
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    kvh = cfg.num_kv_heads * cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        kq, kk, kv, ko, kg, ku, kd = jax.random.split(ks[i], 7)
+        layers.append({
+            "wq": {"w": _dense(kq, (h, h)).astype(dtype)},
+            "wk": {"w": _dense(kk, (h, kvh)).astype(dtype)},
+            "wv": {"w": _dense(kv, (h, kvh)).astype(dtype)},
+            "wo": {"w": _dense(ko, (h, h)).astype(dtype)},
+            "gate": {"w": _dense(kg, (h, inter)).astype(dtype)},
+            "up": {"w": _dense(ku, (h, inter)).astype(dtype)},
+            "down": {"w": _dense(kd, (inter, h)).astype(dtype)},
+            "input_ln": jnp.ones((h,), dtype),
+            "post_ln": jnp.ones((h,), dtype),
+        })
+    return {
+        "embed": (jax.random.normal(ks[-3], (cfg.vocab_size, h)) * 0.02).astype(dtype),
+        "layers": layers,
+        "final_ln": jnp.ones((h,), dtype),
+        "lm_head": {"w": _dense(ks[-2], (h, cfg.vocab_size)).astype(dtype)},
+    }
+
+
+def lora_init(key, cfg: LlamaConfig, rank: int = 8, alpha: float = 16.0,
+              targets: Tuple[str, ...] = ("wq", "wv"), dtype=jnp.float32) -> Dict:
+    """LoRA adapters + img_proj_layer — the full trainable set of the
+    reference's finetune stage (finetune.py:309-323)."""
+    h = cfg.hidden_size
+    kvh = cfg.num_kv_heads * cfg.head_dim
+    out_dims = {"wq": h, "wk": kvh, "wv": kvh, "wo": h}
+    layers = []
+    for i in range(cfg.num_layers):
+        ki = jax.random.fold_in(key, i)
+        layer = {}
+        for j, t in enumerate(targets):
+            ka, _ = jax.random.split(jax.random.fold_in(ki, j))
+            layer[t] = {
+                "a": (jax.random.normal(ka, (h, rank)) * (h ** -0.5)).astype(dtype),
+                "b": jnp.zeros((rank, out_dims[t]), dtype),
+            }
+        layers.append(layer)
+    kp, kb = jax.random.split(jax.random.fold_in(key, 10_000))
+    img_proj = {
+        "w": (jax.random.normal(kp, (cfg.qformer_dim, h)) * (cfg.qformer_dim ** -0.5)).astype(dtype),
+        "b": jnp.zeros((h,), dtype),
+    }
+    return {"layers": layers, "img_proj": img_proj,
+            "scale": jnp.asarray(alpha / rank, jnp.float32)}
+
+
+def _proj(p: Dict, lora_layer: Optional[Dict], name: str, x: jax.Array,
+          lora_scale, policy: DTypePolicy) -> jax.Array:
+    y = linear(p[name], x, policy)
+    if lora_layer is not None and name in lora_layer:
+        la = lora_layer[name]
+        y = y + lora_scale * linear({"w": la["b"]}, linear({"w": la["a"]}, x, policy), policy)
+    return y
+
+
+# ---------------------------------------------------------------------- forward
+def splice_image_embeddings(embeds: jax.Array, img_embs: jax.Array,
+                            img_start: jax.Array) -> jax.Array:
+    """Replace the run of <IMG> token embeddings with projected image
+    embeddings. embeds (B,T,H); img_embs (B,n_img,H); img_start (B,) int.
+    Sequences with img_start < 0 are left untouched."""
+    def one(e, im, st):
+        spliced = jax.lax.dynamic_update_slice(e, im.astype(e.dtype), (st, 0))
+        return jnp.where(st >= 0, spliced, e)
+    return jax.vmap(one)(embeds, img_embs, img_start)
+
+
+def find_img_start(tokens: jax.Array, img_token_id: int) -> jax.Array:
+    """(B,T) -> (B,) index of the first <IMG> token, -1 if absent."""
+    is_img = tokens == img_token_id
+    any_img = is_img.any(axis=1)
+    first = jnp.argmax(is_img, axis=1)
+    return jnp.where(any_img, first, -1)
+
+
+def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
+                     x: jax.Array, positions: jax.Array,
+                     rope: Tuple[jax.Array, jax.Array],
+                     bias: jax.Array, layer_idx: int,
+                     cache: Optional[KVCache], write_pos: Optional[jax.Array],
+                     policy: DTypePolicy):
+    b, t, h = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = _proj(lp, lora_layer, "wq", x, lora_scale, policy).reshape(b, t, nh, hd)
+    k = _proj(lp, lora_layer, "wk", x, lora_scale, policy).reshape(b, t, nkv, hd)
+    v = _proj(lp, lora_layer, "wv", x, lora_scale, policy).reshape(b, t, nkv, hd)
+    cos, sin = rope
+    q = apply_rope(q, cos, sin, positions)
+    k = apply_rope(k, cos, sin, positions)
+
+    if cache is not None:
+        # scatter new K/V at per-sequence write offsets, attend the full cache
+        bi = jnp.arange(b)[:, None]
+        ti = write_pos[:, None] + jnp.arange(t)[None, :]
+        ck = cache.k[layer_idx].at[bi, ti].set(k.astype(cache.k.dtype))
+        cv = cache.v[layer_idx].at[bi, ti].set(v.astype(cache.v.dtype))
+        new_cache_layer = (ck, cv)
+        k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
+    else:
+        # no cache: attend the fresh K/V and hand them back so the decode
+        # engine can bulk-install them into a pre-allocated cache (prefill)
+        new_cache_layer = (k, v)
+        k_all, v_all = k, v
+
+    if nkv != nh:  # GQA broadcast
+        rep = nh // nkv
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+    o = mha(q, k_all, v_all, bias=bias).reshape(b, t, h)
+    return _proj(lp, lora_layer, "wo", o, lora_scale, policy), new_cache_layer
+
+
+def _mlp(lp: Dict, x: jax.Array, policy: DTypePolicy) -> jax.Array:
+    g = jax.nn.silu(linear(lp["gate"], x, policy))
+    u = linear(lp["up"], x, policy)
+    return linear(lp["down"], g * u, policy)
+
+
+def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
+                positions: jax.Array, bias: jax.Array,
+                cache: Optional[KVCache] = None,
+                write_pos: Optional[jax.Array] = None,
+                img_embs: Optional[jax.Array] = None,
+                img_start: Optional[jax.Array] = None,
+                lora: Optional[Dict] = None,
+                policy: DTypePolicy = FP32,
+                remat: bool = False):
+    """Core transformer. Returns (logits, new_cache).
+
+    tokens: (B, T); positions: (B, T) absolute positions for RoPE;
+    bias: (B|1, 1, T, S) additive attention bias over the KV axis
+    (S = cache length when cache given, else T);
+    img_embs: (B, n_img, qformer_dim) raw Q-Former outputs — projected and
+    spliced at the <IMG> run when img_start >= 0 (prefill only, mirroring
+    modeling_llama_imgemb.py:571-594).
+    """
+    x = embedding_lookup(params["embed"], tokens).astype(policy.compute)
+    lora_scale = lora["scale"] if lora is not None else None
+    if img_embs is not None and img_start is not None:
+        proj = lora["img_proj"] if (lora is not None and "img_proj" in lora) else params["img_proj"]
+        projected = linear(proj, img_embs.astype(policy.compute), policy)
+        x = splice_image_embeddings(x, projected, img_start)
+
+    rope = rope_tables(cfg.head_dim, cfg.max_position, cfg.rope_theta)
+    new_k, new_v = [], []
+
+    def layer_fn(i, lp, x):
+        ll = lora["layers"][i] if lora is not None else None
+        h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
+        attn_out, cache_layer = _attention_block(
+            lp, ll, lora_scale, cfg, h, positions, rope, bias, i,
+            cache, write_pos, policy)
+        x = x + attn_out
+        h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
+        x = x + _mlp(lp, h, policy)
+        return x, cache_layer
+
+    for i, lp in enumerate(params["layers"]):
+        f = jax.checkpoint(lambda lp_, x_, i=i: layer_fn(i, lp_, x_)) if remat else (
+            lambda lp_, x_, i=i: layer_fn(i, lp_, x_))
+        x, cache_layer = f(lp, x)
+        new_k.append(cache_layer[0])
+        new_v.append(cache_layer[1])
+
+    x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
+    logits = linear(params["lm_head"], x, policy).astype(jnp.float32)
+    # cache given: updated full cache. cache None: fresh per-layer prefill KV.
+    new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v))
+    return logits, new_cache
+
+
+# ------------------------------------------------------------------ mask helpers
+def prefill_bias(lengths: jax.Array, t: int, dtype=jnp.float32) -> jax.Array:
+    """(B,1,T,T) causal bias; padding tail is harmless under right-padding
+    (pad queries are never read) but we mask KV > len anyway for hygiene."""
+    qi = jnp.arange(t)[None, :, None]
+    kj = jnp.arange(t)[None, None, :]
+    causal = kj <= qi
+    valid = kj < lengths[:, None, None]
+    return jnp.where(causal & valid, 0.0, NEG_INF).astype(dtype)[:, None]
+
+
+def decode_bias(kv_valid_len: jax.Array, s_max: int, dtype=jnp.float32) -> jax.Array:
+    """(B,1,1,S) bias for single-token decode: attend kv j < kv_valid_len."""
+    kj = jnp.arange(s_max)[None, :]
+    ok = kj < kv_valid_len[:, None]
+    return jnp.where(ok, 0.0, NEG_INF).astype(dtype)[:, None, None, :]

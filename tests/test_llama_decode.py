@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radialog_tpu.decode.engine import DecodeParams, generate, prefill
+from radialog_tpu.models.llama import (TINY_LLAMA, find_img_start, llama_apply,
+                                       llama_init, lora_init, prefill_bias,
+                                       splice_image_embeddings)
+
+CFG = TINY_LLAMA
+K = jax.random.PRNGKey(0)
+RNG = np.random.default_rng(0)
+
+
+def _params():
+    return llama_init(K, CFG)
+
+
+def _naive_logits(params, tokens, lengths, img_embs=None, lora=None):
+    t = tokens.shape[1]
+    positions = jnp.arange(t)[None, :].repeat(tokens.shape[0], 0)
+    bias = prefill_bias(lengths, t)
+    img_start = find_img_start(tokens, CFG.img_token_id) if img_embs is not None else None
+    logits, _ = llama_apply(params, CFG, tokens, positions, bias,
+                            img_embs=img_embs, img_start=img_start, lora=lora)
+    return logits
+
+
+def test_causality():
+    p = _params()
+    toks = jnp.asarray(RNG.integers(3, 200, size=(1, 8)))
+    lens = jnp.asarray([8])
+    l1 = _naive_logits(p, toks, lens)
+    toks2 = toks.at[0, -1].set(7)
+    l2 = _naive_logits(p, toks2, lens)
+    np.testing.assert_allclose(np.asarray(l1[:, :-1]), np.asarray(l2[:, :-1]), atol=1e-4)
+
+
+def test_right_padding_invariance():
+    p = _params()
+    base = RNG.integers(3, 200, size=(1, 6))
+    toks_a = jnp.asarray(np.pad(base, ((0, 0), (0, 2))))          # pad 2
+    toks_b = jnp.asarray(np.pad(base, ((0, 0), (0, 5))))          # pad 5
+    lens = jnp.asarray([6])
+    la = _naive_logits(p, toks_a, lens)[:, :6]
+    lb = _naive_logits(p, toks_b, lens)[:, :6]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-4)
+
+
+def test_image_splice():
+    p = _params()
+    n_img = CFG.num_img_tokens
+    toks = np.full((1, 10), 5, np.int64)
+    toks[0, 2:2 + n_img] = CFG.img_token_id
+    toks = jnp.asarray(toks)
+    embs = jnp.asarray(RNG.normal(size=(1, n_img, CFG.qformer_dim)), jnp.float32)
+    lora = lora_init(jax.random.PRNGKey(1), CFG)
+    l_with = _naive_logits(p, toks, jnp.asarray([10]), img_embs=embs, lora=lora)
+    # different image embeddings change logits after the splice point
+    embs2 = embs + 1.0
+    l_with2 = _naive_logits(p, toks, jnp.asarray([10]), img_embs=embs2, lora=lora)
+    assert not np.allclose(np.asarray(l_with[:, -1]), np.asarray(l_with2[:, -1]))
+    # positions before the image run are unaffected (causality)
+    np.testing.assert_allclose(np.asarray(l_with[:, :2]), np.asarray(l_with2[:, :2]),
+                               atol=1e-4)
+
+
+def test_splice_helper_exact():
+    emb = jnp.zeros((2, 6, 4))
+    img = jnp.ones((2, 2, 4))
+    start = jnp.asarray([1, -1])
+    out = np.asarray(splice_image_embeddings(emb, img, start))
+    assert out[0, 1:3].sum() == 8 and out[0, 0].sum() == 0 and out[0, 3:].sum() == 0
+    assert out[1].sum() == 0  # start=-1 leaves untouched
+
+
+def test_lora_zero_b_is_identity():
+    p = _params()
+    lora = lora_init(jax.random.PRNGKey(3), CFG)
+    toks = jnp.asarray(RNG.integers(3, 200, size=(2, 7)))
+    lens = jnp.asarray([7, 7])
+    l0 = _naive_logits(p, toks, lens)
+    l1 = _naive_logits(p, toks, lens, lora=lora)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-5)
+
+
+def test_decode_matches_naive_rollout():
+    """Cached greedy decode == repeated full forward argmax."""
+    p = _params()
+    prompt = RNG.integers(3, 200, size=(2, 5))
+    prompt[1, 4] = 0  # second sequence shorter (right-padded)
+    lens = jnp.asarray([5, 4])
+    toks = jnp.asarray(prompt)
+    dp = DecodeParams(max_new_tokens=6, eos_token_id=1)  # eos unlikely to fire
+
+    res = generate(p, CFG, toks, lens, dp, cache_len=32)
+
+    # naive rollout without cache
+    seqs = [list(prompt[0][:5]), list(prompt[1][:4])]
+    for step in range(6):
+        cur_len = max(len(s) for s in seqs)
+        arr = np.zeros((2, cur_len), np.int64)
+        ls = []
+        for i, s in enumerate(seqs):
+            arr[i, :len(s)] = s
+            ls.append(len(s))
+        logits = _naive_logits(p, jnp.asarray(arr), jnp.asarray(ls))
+        for i, s in enumerate(seqs):
+            nxt = int(np.argmax(np.asarray(logits)[i, ls[i] - 1]))
+            s.append(nxt)
+    gen_naive = [s[5:] for s in [seqs[0]]] + [[t for t in seqs[1][4:]]]
+    got = np.asarray(res.tokens)
+    np.testing.assert_array_equal(got[0, :6], gen_naive[0])
+    np.testing.assert_array_equal(got[1, :6], gen_naive[1])
+
+
+def test_decode_eos_early_exit():
+    p = _params()
+    toks = jnp.asarray(RNG.integers(3, 200, size=(1, 4)))
+    lens = jnp.asarray([4])
+    # pick eos == whatever greedy produces first => length 1
+    r0 = generate(p, CFG, toks, lens, DecodeParams(max_new_tokens=4, eos_token_id=1),
+                  cache_len=16)
+    first = int(np.asarray(r0.tokens)[0, 0])
+    r1 = generate(p, CFG, toks, lens,
+                  DecodeParams(max_new_tokens=4, eos_token_id=first), cache_len=16)
+    assert int(r1.lengths[0]) == 1
+    assert (np.asarray(r1.tokens)[0, 1:] == first).all()  # eos-padded
