@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Headline benchmark: chest-X-ray -> radiology-report e2e throughput on one
+TPU chip (BASELINE.json north star: reports/sec/chip).
+
+Pipeline measured (the test.py eval path of the reference, full model sizes):
+  448x448 image -> BioViL-T (ResNet-50 + projector, J=1408)
+               -> Q-Former (BERT-base + cross-attn, 32 queries)
+               -> <IMG>-spliced Vicuna-7B (bf16) prefill
+               -> greedy KV-cache decode, 300 new tokens (test.py:344)
+
+vs_baseline is measured against the reference configuration's estimated GPU
+throughput: HF greedy generate, fp16 Vicuna-7B, batch 12, max_new_tokens 300
+(test.py:279,339-348) on an A40-class GPU ~= 0.40 reports/s (≈8-12 tok/s/seq
+batched; the repo ships no published numbers, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+REFERENCE_REPORTS_PER_SEC = 0.40   # documented estimate, see module docstring
+MAX_NEW_TOKENS = 300               # test.py:344
+PROMPT_LEN = 128                   # system + findings + instruction, typical
+BATCH = 1                          # 7B bf16 + KV cache within 16GB HBM v5e
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from radialog_tpu.decode.engine import DecodeParams, generate
+    from radialog_tpu.models.biovil_t import biovil_t_apply, biovil_t_init, \
+        patch_tokens_for_qformer
+    from radialog_tpu.models.blip2 import Blip2Config, blip2_forward_image
+    from radialog_tpu.models.llama import VICUNA_7B, llama_init, lora_init
+    from radialog_tpu.models.qformer import qformer_init
+    from radialog_tpu.ops.layers import BF16, layernorm, layernorm_init
+
+    cfg = VICUNA_7B
+    bcfg = Blip2Config()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    params = llama_init(k1, cfg, dtype=jnp.bfloat16)
+    lora = lora_init(k2, cfg, dtype=jnp.bfloat16)
+    vis_params, vis_state = biovil_t_init(k3, joint_feature_size=bcfg.qformer.encoder_width)
+    qf_params = {"qformer": qformer_init(k4, bcfg.qformer),
+                 "ln_vision": layernorm_init(bcfg.qformer.encoder_width)}
+    jax.block_until_ready(params)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((BATCH, 448, 448, 3)), jnp.float32)
+    prompt = rng.integers(3, 30000, (BATCH, PROMPT_LEN)).astype(np.int32)
+    prompt[:, 4:4 + cfg.num_img_tokens] = cfg.img_token_id
+    tokens = jnp.asarray(prompt)
+    lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
+    dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1)  # full-length
+
+    cache_len = 512  # >= PROMPT_LEN + MAX_NEW_TOKENS, bucketed
+
+    @jax.jit
+    def report_step(vis_params, vis_state, qf_params, params, lora, images,
+                    tokens, lengths):
+        out, _ = biovil_t_apply(vis_params, vis_state, images, policy=BF16)
+        patch = patch_tokens_for_qformer(out.projected_patch_embeddings)
+        patch = layernorm(qf_params["ln_vision"], patch)
+        embs = blip2_forward_image(qf_params, bcfg, patch, policy=BF16)
+        return generate(params, cfg, tokens, lengths, dp, img_embs=embs,
+                        lora=lora, policy=BF16, cache_len=cache_len)
+
+    # warmup / compile
+    res = report_step(vis_params, vis_state, qf_params, params, lora, images,
+                      tokens, lengths)
+    np.asarray(res.tokens)
+
+    n_runs = 3
+    t0 = time.time()
+    for i in range(n_runs):
+        res = report_step(vis_params, vis_state, qf_params, params, lora,
+                          images, tokens, lengths)
+        np.asarray(res.tokens)  # force completion + D2H
+    dt = time.time() - t0
+
+    reports_per_sec = n_runs * BATCH / dt
+    print(json.dumps({
+        "metric": "reports_per_sec_per_chip",
+        "value": round(reports_per_sec, 4),
+        "unit": "reports/s (image->300-token report, e2e, Vicuna-7B bf16)",
+        "vs_baseline": round(reports_per_sec / REFERENCE_REPORTS_PER_SEC, 3),
+    }))
+
+
+def fallback() -> None:
+    """Emergency path: decode-only microbench on a reduced-depth model so the
+    driver always gets a JSON line even if the full pipeline cannot run."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from radialog_tpu.decode.engine import DecodeParams, generate
+    from radialog_tpu.models.llama import VICUNA_7B, llama_init
+    from radialog_tpu.ops.layers import BF16
+
+    cfg = dataclasses.replace(VICUNA_7B, num_layers=8)
+    params = llama_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    tokens = jnp.asarray(np.full((1, 64), 13, np.int32))
+    lengths = jnp.full((1,), 64, jnp.int32)
+    dp = DecodeParams(max_new_tokens=64, eos_token_id=-1)
+    gen = jax.jit(lambda p, t, l: generate(p, cfg, t, l, dp, policy=BF16,
+                                           cache_len=256))
+    np.asarray(gen(params, tokens, lengths).tokens)
+    t0 = time.time()
+    np.asarray(gen(params, tokens, lengths).tokens)
+    dt = time.time() - t0
+    tps = 64 / dt
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_8layer_proxy",
+        "value": round(tps, 1),
+        "unit": "tok/s (8-layer 4096-wide decode proxy; full bench failed)",
+        "vs_baseline": 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — always emit a line for the driver
+        print(f"bench main failed: {e!r}; running fallback", file=sys.stderr)
+        fallback()

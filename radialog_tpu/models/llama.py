@@ -79,56 +79,54 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
 
 
 # ------------------------------------------------------------------------- init
-def _dense(key, shape):
-    fan_in = shape[0]
-    return (jax.random.normal(key, shape, jnp.float32) * (fan_in ** -0.5))
+# Layer params are STACKED: every leaf under params["layers"] carries a
+# leading (num_layers,) axis so the forward is a lax.scan over layers — one
+# compiled layer body instead of a 32x-unrolled graph (compile time and HLO
+# size scale O(1) in depth).
+def _dense(key, shape, dtype):
+    # generate directly in target dtype: no fp32 transient at 7B scale
+    fan_in = shape[-2]
+    return jax.random.normal(key, shape, dtype) * jnp.asarray(fan_in ** -0.5, dtype)
 
 
 def llama_init(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
-    ks = jax.random.split(key, cfg.num_layers + 3)
-    h, inter = cfg.hidden_size, cfg.intermediate_size
+    kq, kk, kv, ko, kg, ku, kd, ke, kl = jax.random.split(key, 9)
+    h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     kvh = cfg.num_kv_heads * cfg.head_dim
-    layers = []
-    for i in range(cfg.num_layers):
-        kq, kk, kv, ko, kg, ku, kd = jax.random.split(ks[i], 7)
-        layers.append({
-            "wq": {"w": _dense(kq, (h, h)).astype(dtype)},
-            "wk": {"w": _dense(kk, (h, kvh)).astype(dtype)},
-            "wv": {"w": _dense(kv, (h, kvh)).astype(dtype)},
-            "wo": {"w": _dense(ko, (h, h)).astype(dtype)},
-            "gate": {"w": _dense(kg, (h, inter)).astype(dtype)},
-            "up": {"w": _dense(ku, (h, inter)).astype(dtype)},
-            "down": {"w": _dense(kd, (inter, h)).astype(dtype)},
-            "input_ln": jnp.ones((h,), dtype),
-            "post_ln": jnp.ones((h,), dtype),
-        })
+    layers = {
+        "wq": {"w": _dense(kq, (L, h, h), dtype)},
+        "wk": {"w": _dense(kk, (L, h, kvh), dtype)},
+        "wv": {"w": _dense(kv, (L, h, kvh), dtype)},
+        "wo": {"w": _dense(ko, (L, h, h), dtype)},
+        "gate": {"w": _dense(kg, (L, h, inter), dtype)},
+        "up": {"w": _dense(ku, (L, h, inter), dtype)},
+        "down": {"w": _dense(kd, (L, inter, h), dtype)},
+        "input_ln": jnp.ones((L, h), dtype),
+        "post_ln": jnp.ones((L, h), dtype),
+    }
     return {
-        "embed": (jax.random.normal(ks[-3], (cfg.vocab_size, h)) * 0.02).astype(dtype),
+        "embed": jax.random.normal(ke, (cfg.vocab_size, h), dtype) * jnp.asarray(0.02, dtype),
         "layers": layers,
         "final_ln": jnp.ones((h,), dtype),
-        "lm_head": {"w": _dense(ks[-2], (h, cfg.vocab_size)).astype(dtype)},
+        "lm_head": {"w": _dense(kl, (h, cfg.vocab_size), dtype)},
     }
 
 
 def lora_init(key, cfg: LlamaConfig, rank: int = 8, alpha: float = 16.0,
               targets: Tuple[str, ...] = ("wq", "wv"), dtype=jnp.float32) -> Dict:
-    """LoRA adapters + img_proj_layer — the full trainable set of the
-    reference's finetune stage (finetune.py:309-323)."""
-    h = cfg.hidden_size
+    """LoRA adapters (stacked over layers) + img_proj_layer — the full
+    trainable set of the reference's finetune stage (finetune.py:309-323)."""
+    h, L = cfg.hidden_size, cfg.num_layers
     kvh = cfg.num_kv_heads * cfg.head_dim
     out_dims = {"wq": h, "wk": kvh, "wv": kvh, "wo": h}
-    layers = []
-    for i in range(cfg.num_layers):
-        ki = jax.random.fold_in(key, i)
-        layer = {}
-        for j, t in enumerate(targets):
-            ka, _ = jax.random.split(jax.random.fold_in(ki, j))
-            layer[t] = {
-                "a": (jax.random.normal(ka, (h, rank)) * (h ** -0.5)).astype(dtype),
-                "b": jnp.zeros((rank, out_dims[t]), dtype),
-            }
-        layers.append(layer)
-    kp, kb = jax.random.split(jax.random.fold_in(key, 10_000))
+    layers = {}
+    for j, t in enumerate(targets):
+        ka = jax.random.fold_in(key, j)
+        layers[t] = {
+            "a": (jax.random.normal(ka, (L, h, rank)) * (h ** -0.5)).astype(dtype),
+            "b": jnp.zeros((L, rank, out_dims[t]), dtype),
+        }
+    kp = jax.random.fold_in(key, 10_000)
     img_proj = {
         "w": (jax.random.normal(kp, (cfg.qformer_dim, h)) * (cfg.qformer_dim ** -0.5)).astype(dtype),
         "b": jnp.zeros((h,), dtype),
@@ -169,9 +167,12 @@ def find_img_start(tokens: jax.Array, img_token_id: int) -> jax.Array:
 def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      x: jax.Array, positions: jax.Array,
                      rope: Tuple[jax.Array, jax.Array],
-                     bias: jax.Array, layer_idx: int,
-                     cache: Optional[KVCache], write_pos: Optional[jax.Array],
+                     bias: jax.Array,
+                     cache_layer: Optional[Tuple[jax.Array, jax.Array]],
+                     write_pos: Optional[jax.Array],
                      policy: DTypePolicy):
+    """One layer's attention. cache_layer: (B,S,H,D) k/v for this layer, or
+    None at prefill (fresh K/V are returned for bulk cache install)."""
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     q = _proj(lp, lora_layer, "wq", x, lora_scale, policy).reshape(b, t, nh, hd)
@@ -181,17 +182,15 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
 
-    if cache is not None:
+    if cache_layer is not None:
         # scatter new K/V at per-sequence write offsets, attend the full cache
         bi = jnp.arange(b)[:, None]
         ti = write_pos[:, None] + jnp.arange(t)[None, :]
-        ck = cache.k[layer_idx].at[bi, ti].set(k.astype(cache.k.dtype))
-        cv = cache.v[layer_idx].at[bi, ti].set(v.astype(cache.v.dtype))
+        ck = cache_layer[0].at[bi, ti].set(k.astype(cache_layer[0].dtype))
+        cv = cache_layer[1].at[bi, ti].set(v.astype(cache_layer[1].dtype))
         new_cache_layer = (ck, cv)
         k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
     else:
-        # no cache: attend the fresh K/V and hand them back so the decode
-        # engine can bulk-install them into a pre-allocated cache (prefill)
         new_cache_layer = (k, v)
         k_all, v_all = k, v
 
@@ -236,31 +235,29 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         x = splice_image_embeddings(x, projected, img_start)
 
     rope = rope_tables(cfg.head_dim, cfg.max_position, cfg.rope_theta)
-    new_k, new_v = [], []
 
-    def layer_fn(i, lp, x):
-        ll = lora["layers"][i] if lora is not None else None
+    def layer_fn(x, scanned):
+        lp, ll, cache_layer = scanned
         h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
-        attn_out, cache_layer = _attention_block(
-            lp, ll, lora_scale, cfg, h, positions, rope, bias, i,
-            cache, write_pos, policy)
+        attn_out, new_cache_layer = _attention_block(
+            lp, ll, lora_scale, cfg, h, positions, rope, bias,
+            cache_layer, write_pos, policy)
         x = x + attn_out
         h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
         x = x + _mlp(lp, h, policy)
-        return x, cache_layer
+        return x, new_cache_layer
 
-    for i, lp in enumerate(params["layers"]):
-        f = jax.checkpoint(lambda lp_, x_, i=i: layer_fn(i, lp_, x_)) if remat else (
-            lambda lp_, x_, i=i: layer_fn(i, lp_, x_))
-        x, cache_layer = f(lp, x)
-        new_k.append(cache_layer[0])
-        new_v.append(cache_layer[1])
+    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    lora_layers = lora["layers"] if lora is not None else None
+    cache_layers = (cache.k, cache.v) if cache is not None else None
+    # scan over stacked layer params: O(1) compile in depth
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], lora_layers, cache_layers))
 
     x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
     logits = linear(params["lm_head"], x, policy).astype(jnp.float32)
     # cache given: updated full cache. cache None: fresh per-layer prefill KV.
-    new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v))
-    return logits, new_cache
+    return logits, KVCache(new_k, new_v)
 
 
 # ------------------------------------------------------------------ mask helpers
