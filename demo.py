@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Interactive RaDialog demo — reference demo.py CLI (--cfg-path/--options,
+demo.py:46-60) plus a terminal chat mode that works without gradio.
+
+  python demo.py --cli --mock              # terminal chat, tiny models
+  python demo.py --cfg-path cfg.yaml       # gradio UI when installed
+"""
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="RaDialog-TPU demo")
+    p.add_argument("--cfg-path", default=None, help="path to configuration file")
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--options", nargs="+", default=None,
+                   help="key=value config overrides")
+    p.add_argument("--cli", action="store_true", default=False,
+                   help="terminal chat loop instead of gradio")
+    p.add_argument("--mock", action="store_true", default=False)
+    p.add_argument("--no-report", action="store_true", default=False,
+                   help="don't auto-generate a report on image upload")
+    return p.parse_args()
+
+
+def build_session(args):
+    from radialog_tpu.apps.chat import ChatSession
+    from radialog_tpu.apps.pipeline import PipelineConfig, RaDialogPipeline
+    from radialog_tpu.core.config import Config
+
+    cfg = Config()
+    if args.cfg_path:
+        cfg = Config.from_yaml(args.cfg_path)
+    if args.options:
+        cfg = cfg.apply_overrides(args.options)
+    m = cfg.get("model", Config())
+    pipe = RaDialogPipeline(PipelineConfig(
+        vicuna_path=m.get("vicuna_path"), lora_path=m.get("lora_path"),
+        blip2_checkpoint=m.get("blip2_checkpoint"),
+        classifier_checkpoint=m.get("classifier_checkpoint"),
+        chexbert_checkpoint=m.get("chexbert_checkpoint"),
+        emb_cache=m.get("emb_cache"),
+        mock=args.mock or bool(m.get("mock", False))))
+    return ChatSession(pipe, gen_report=not args.no_report)
+
+
+def cli_loop(session):
+    print("RaDialog chat — type an image path (.jpg/.png) to upload a scan,\n"
+          "'reset' to clear the conversation, 'quit' to exit.")
+    while True:
+        try:
+            text = input("USER: ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return
+        if not text:
+            continue
+        if text in ("quit", "exit"):
+            return
+        if text == "reset":
+            session.reset()
+            print("(conversation cleared)")
+            continue
+        if text.endswith((".png", ".jpg")):
+            reply, findings = session.load_image(text)
+            print(f"(predicted findings: {findings})")
+            if reply:
+                print(f"ASSISTANT: {reply}")
+            continue
+        print(f"ASSISTANT: {session.ask(text)}")
+
+
+def gradio_ui(session):
+    try:
+        import gradio as gr
+    except ImportError:
+        print("gradio is not installed — falling back to --cli mode",
+              file=sys.stderr)
+        return cli_loop(session)
+
+    with gr.Blocks() as ui:  # chat UI mirroring demo.py:369-400
+        chatbot = gr.Chatbot()
+        txt = gr.Textbox(placeholder="Ask about the scan, or paste an image path")
+
+        def respond(message, history):
+            reply = session.ask(message)
+            history = history + [(message, reply)]
+            return "", history
+
+        txt.submit(respond, [txt, chatbot], [txt, chatbot])
+    ui.launch()
+
+
+def main():
+    random.seed(16)
+    np.random.seed(16)
+    args = parse_args()
+    session = build_session(args)
+    if args.cli:
+        cli_loop(session)
+    else:
+        gradio_ui(session)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""The assembled RaDialog pipeline: models + tokenizer + decode engine.
+
+This is the runtime object behind the CLI apps (test.py / demo.py), replacing
+the reference's ad-hoc module-level model loading (test.py:288-304,
+demo.py:143-243). Components load from real checkpoints when paths are given
+(via utils/hf_weights converters) or from seeded tiny configs in mock mode —
+the mock path keeps every CLI drivable end-to-end in CI containers without
+the 7B weights.
+
+Image embeddings are passed in-memory through the forward signature
+(replacing the reference's pickle-at-init + current_chat_img.pt disk handoffs,
+modeling_llama_imgemb.py:454-462, demo.py:273 — SURVEY §7 quirk 4), with an
+optional npz cache for LoRA-training throughput.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenization import (WhitespaceTokenizer, load_vicuna_tokenizer,
+                                 pad_batch_right)
+from ..decode.engine import DecodeParams, decode_loop, prefill
+from ..decode.kvcache import bucket_length
+from ..models.bert import BertConfig
+from ..models.biovil_t import biovil_t_apply, biovil_t_init, patch_tokens_for_qformer
+from ..models.blip2 import Blip2Config, blip2_forward_image
+from ..models.chexbert import chexbert_apply, chexbert_init, logits_to_labels
+from ..models.chexpert import (CHEXPERT_CLASSES, chexpert_classifier_apply,
+                               chexpert_classifier_init, predicted_findings)
+from ..models.llama import LlamaConfig, TINY_LLAMA, VICUNA_7B, llama_init, lora_init
+from ..models.qformer import QFormerConfig, TINY_QFORMER, qformer_init
+from ..ops.layers import BF16, DTypePolicy, FP32, layernorm, layernorm_init
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    vicuna_path: Optional[str] = None        # HF dir with tokenizer + weights
+    lora_path: Optional[str] = None          # adapter_model.bin
+    blip2_checkpoint: Optional[str] = None   # stage-1 .pth
+    classifier_checkpoint: Optional[str] = None  # Lightning .ckpt
+    chexbert_checkpoint: Optional[str] = None
+    bert_tokenizer_path: Optional[str] = None
+    emb_cache: Optional[str] = None          # npz: dicom -> (32,768)
+    mock: bool = False                       # tiny seeded models, no weights
+    bf16: bool = True
+    max_new_tokens: int = 300                # test.py:344
+    seed: int = 42
+
+
+class RaDialogPipeline:
+    """Bundles the five models and a generate() over the decode engine."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.policy: DTypePolicy = BF16 if cfg.bf16 and not cfg.mock else FP32
+        key = jax.random.PRNGKey(cfg.seed)
+        kl, kq, kv, kc, kb = jax.random.split(key, 5)
+        dtype = jnp.bfloat16 if self.policy is BF16 else jnp.float32
+
+        # ---- LLM + LoRA
+        if cfg.mock:
+            # mock keeps the REAL interface contract: 32 <IMG> slots, 32
+            # query tokens, matching qformer_dim — only widths/depths shrink
+            self.llama_cfg = dataclasses.replace(
+                TINY_LLAMA, num_img_tokens=32,
+                qformer_dim=TINY_QFORMER.bert.hidden_size)
+            self.tokenizer = WhitespaceTokenizer(
+                vocab_size=self.llama_cfg.vocab_size,
+                num_img_tokens=self.llama_cfg.num_img_tokens,
+                img_token_id=self.llama_cfg.img_token_id)
+            self.llama = llama_init(kl, self.llama_cfg, dtype=dtype)
+            self.lora = lora_init(kl, self.llama_cfg, dtype=dtype)
+        else:
+            if cfg.vicuna_path is None:
+                raise ValueError("vicuna_path required (or use mock=True)")
+            self.llama_cfg = VICUNA_7B
+            self.tokenizer = load_vicuna_tokenizer(cfg.vicuna_path)
+            self.llama = self._load_llama(cfg.vicuna_path, dtype)
+            self.lora = (self._load_lora(cfg.lora_path, dtype)
+                         if cfg.lora_path else lora_init(kl, self.llama_cfg, dtype=dtype))
+
+        # ---- vision + Q-Former (blip2)
+        if cfg.mock:
+            self.qformer_cfg = dataclasses.replace(TINY_QFORMER,
+                                                   num_query_tokens=32)
+            self.blip2 = {"qformer": qformer_init(kq, self.qformer_cfg),
+                          "ln_vision": layernorm_init(self.qformer_cfg.encoder_width)}
+            self.visual, self.visual_state = biovil_t_init(
+                kv, joint_feature_size=self.qformer_cfg.encoder_width)
+        else:
+            self.qformer_cfg = QFormerConfig()
+            if cfg.blip2_checkpoint:
+                self.blip2, vis_state = self._load_blip2(cfg.blip2_checkpoint)
+                self.visual = self.blip2.get("visual")
+                self.visual_state = vis_state.get("visual")
+            else:
+                self.blip2 = {"qformer": qformer_init(kq, self.qformer_cfg),
+                              "ln_vision": layernorm_init(self.qformer_cfg.encoder_width)}
+                self.visual, self.visual_state = biovil_t_init(
+                    kv, joint_feature_size=self.qformer_cfg.encoder_width)
+
+        # ---- findings classifier
+        if cfg.mock or not cfg.classifier_checkpoint:
+            self.classifier, self.classifier_state = chexpert_classifier_init(kc)
+        else:
+            from ..utils.hf_weights import convert_chexpert_classifier
+            sd = _torch_load(cfg.classifier_checkpoint)
+            sd = sd.get("state_dict", sd)
+            self.classifier, self.classifier_state = convert_chexpert_classifier(sd)
+
+        # ---- chexbert labeler
+        self.chexbert_cfg = BertConfig()
+        if cfg.mock or not cfg.chexbert_checkpoint:
+            mock_bert = BertConfig(vocab_size=512, hidden_size=32, num_layers=2,
+                                   num_heads=4, intermediate_size=64,
+                                   max_position=128)
+            self.chexbert_cfg = mock_bert if cfg.mock else self.chexbert_cfg
+            self.chexbert = chexbert_init(kb, self.chexbert_cfg)
+            self.bert_tokenizer = WhitespaceTokenizer(vocab_size=self.chexbert_cfg.vocab_size)
+        else:
+            from ..utils.hf_weights import convert_chexbert
+            sd = _torch_load(cfg.chexbert_checkpoint)
+            sd = sd.get("model_state_dict", sd.get("state_dict", sd))
+            self.chexbert = convert_chexbert(sd)
+            from transformers import AutoTokenizer
+            self.bert_tokenizer = AutoTokenizer.from_pretrained(
+                cfg.bert_tokenizer_path or "bert-base-uncased")
+
+        self.emb_cache: Dict[str, np.ndarray] = {}
+        if cfg.emb_cache and Path(cfg.emb_cache).exists():
+            self.emb_cache = dict(np.load(cfg.emb_cache))
+
+    # ------------------------------------------------------------- loaders
+    @staticmethod
+    def _load_llama(path: str, dtype) -> Dict:
+        from ..utils.hf_weights import convert_llama
+        sd = _load_hf_state_dict(path)
+        params = convert_llama(sd, VICUNA_7B.num_layers)
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+
+    def _load_lora(self, path: str, dtype) -> Dict:
+        from ..utils.hf_weights import convert_peft_lora
+        lora = convert_peft_lora(_torch_load(path), self.llama_cfg.num_layers)
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x), dtype), lora)
+
+    def _load_blip2(self, path: str) -> Tuple[Dict, Dict]:
+        from ..utils.hf_weights import convert_blip2
+        ckpt = _torch_load(path)
+        return convert_blip2(ckpt.get("model", ckpt))
+
+    # ------------------------------------------------------------- vision
+    def embed_images(self, images: np.ndarray,
+                     dicoms: Optional[Sequence[str]] = None) -> jax.Array:
+        """(B,448,448,3) float [0,1] -> Q-Former query embeddings (B,32,768)
+        (demo.py:269-273 / pretraining embedding precompute)."""
+        if dicoms is not None and self.emb_cache:
+            hits = [self.emb_cache.get(str(d)) for d in dicoms]
+            if all(h is not None for h in hits):
+                return jnp.asarray(np.stack(hits))
+        out, _ = biovil_t_apply(self.visual, self.visual_state,
+                                jnp.asarray(images), policy=self.policy)
+        patch = patch_tokens_for_qformer(out.projected_patch_embeddings)
+        patch = layernorm(self.blip2["ln_vision"], patch)
+        bcfg = Blip2Config(qformer=self.qformer_cfg)
+        return blip2_forward_image(self.blip2, bcfg, patch, policy=self.policy)
+
+    def classify_findings(self, images_488: np.ndarray) -> List[List[str]]:
+        """(B,488,488,3) -> positive finding names (demo.py:253-261)."""
+        logits, _ = chexpert_classifier_apply(self.classifier, self.classifier_state,
+                                              jnp.asarray(images_488),
+                                              policy=self.policy)
+        mask = np.asarray(predicted_findings(logits))
+        return [[CHEXPERT_CLASSES[j] for j in range(len(CHEXPERT_CLASSES)) if row[j]]
+                for row in mask]
+
+    # ------------------------------------------------------------ labeling
+    def label_reports(self, texts: Sequence[str], batch_size: int = 16) -> np.ndarray:
+        """CheXbert labels (N,14) in {nan,1,0,-1} — on-device replacement for
+        the chexbert subprocess (chexbert/run_chexbert.py:5-26)."""
+        out = []
+        for i in range(0, len(texts), batch_size):
+            chunk = list(texts[i:i + batch_size])
+            ids = [self.bert_tokenizer(t, truncation=True, max_length=512)["input_ids"]
+                   for t in chunk]
+            toks, lengths = pad_batch_right(ids, 0)
+            mask = (np.arange(toks.shape[1])[None] < lengths[:, None]).astype(np.int32)
+            logits = chexbert_apply(self.chexbert, self.chexbert_cfg,
+                                    jnp.asarray(toks), jnp.asarray(mask),
+                                    policy=self.policy)
+            out.append(logits_to_labels([np.asarray(l) for l in logits]))
+        return np.concatenate(out, axis=0)
+
+    # ------------------------------------------------------------ generate
+    def generate_texts(self, prompts: Sequence[str],
+                       img_embs: Optional[jax.Array] = None,
+                       max_new_tokens: Optional[int] = None,
+                       do_sample: bool = False, temperature: float = 1.0
+                       ) -> List[str]:
+        """Tokenize -> prefill -> decode -> full decoded conversations
+        (prompt + generation, mirroring batch_decode at test.py:351)."""
+        ids = [self.tokenizer(p)["input_ids"] for p in prompts]
+        tokens, lengths = pad_batch_right(ids, _pad_id(self.tokenizer))
+        dp = DecodeParams(
+            max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+            eos_token_id=self.tokenizer.eos_token_id,
+            do_sample=do_sample, temperature=temperature, seed=self.cfg.seed)
+        cache_len = bucket_length(tokens.shape[1] + dp.max_new_tokens)
+        cache, last = prefill(self.llama, self.llama_cfg, jnp.asarray(tokens),
+                              jnp.asarray(lengths), cache_len,
+                              img_embs=img_embs, lora=self.lora,
+                              policy=self.policy)
+        res = decode_loop(self.llama, self.llama_cfg, cache, last,
+                          jnp.asarray(lengths), dp, lora=self.lora,
+                          policy=self.policy)
+        gen = np.asarray(res.tokens)
+        out = []
+        for i, p in enumerate(prompts):
+            n = int(res.lengths[i])
+            text = self.tokenizer.decode(gen[i][:n], skip_special_tokens=True)
+            out.append(p + " " + text)
+        return out
+
+
+def _pad_id(tok) -> int:
+    pid = getattr(tok, "pad_token_id", None)
+    return pid if pid is not None else 0
+
+
+def _torch_load(path: str):
+    import torch
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _load_hf_state_dict(path: str) -> Dict:
+    """Load an HF checkpoint dir (safetensors shards or pytorch bins)."""
+    p = Path(path)
+    sds: Dict = {}
+    st_files = sorted(p.glob("*.safetensors"))
+    if st_files:
+        from safetensors.numpy import load_file
+        for f in st_files:
+            sds.update(load_file(str(f)))
+        return sds
+    bins = sorted(p.glob("pytorch_model*.bin"))
+    if not bins:
+        raise FileNotFoundError(f"no model weights found under {path}")
+    for f in bins:
+        sds.update(_torch_load(str(f)))
+    return sds

@@ -60,19 +60,21 @@ class WhitespaceTokenizer:
     vicuna files). Hash-bucketed word ids with bos/eos/unk/<IMG> special ids
     mirroring the vicuna layout (bos=1, eos=2, unk=0, <IMG>=vocab-1)."""
 
-    def __init__(self, vocab_size: int = 32001, num_img_tokens: int = 32):
+    def __init__(self, vocab_size: int = 32001, num_img_tokens: int = 32,
+                 img_token_id: Optional[int] = None):
         self.vocab_size = vocab_size
         self.bos_token_id = 1
         self.eos_token_id = 2
         self.unk_token_id = 0
         self.pad_token_id = 0
-        self.img_token_id = vocab_size - 1
+        self.img_token_id = img_token_id if img_token_id is not None else vocab_size - 1
         self.num_img_tokens = num_img_tokens
 
     def _word_id(self, w: str) -> int:
         if w == IMG_TOKEN:
             return self.img_token_id
-        return 3 + (hash(w) % (self.vocab_size - 4))
+        i = 3 + (hash(w) % (self.vocab_size - 4))
+        return 3 if i == self.img_token_id else i  # keep <IMG> id exclusive
 
     def encode(self, text: str, add_bos: bool = True) -> List[int]:
         # split out <IMG> runs so each placeholder is one token, as the real

@@ -69,6 +69,19 @@ def preprocess_cxr_batch(imgs_u8: jax.Array, resize: int = 512, crop: int = 448)
     return jax.vmap(lambda im: preprocess_cxr(im, resize=resize, crop=crop))(imgs_u8)
 
 
+def load_image_grayscale(path) -> np.ndarray:
+    """Host JPEG/PNG decode -> remapped uint8 grayscale (H, W).
+
+    Replaces the reference's skimage.io.imread + remap (load_image,
+    ReportDataset.py:310-324) with PIL (the C decoder is the same class of
+    host-side work; skimage is not in this image)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("L") if im.mode not in ("I;16", "I") else im)
+    return remap_to_uint8_np(arr)
+
+
 def preprocess_cxr_np(img_u8: np.ndarray, resize: int = 512, crop: int = 448) -> np.ndarray:
     """Pure-numpy/PIL reference path (bit-compatible with the torch pipeline
     up to PIL-vs-XLA resampling differences <1 ULP-ish)."""

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Batch eval CLI — reference-compatible signature (test.py:257-273) plus
+explicit data-path flags (the reference hardcodes paths in local_config.py).
+
+Mock drive without the 7B weights:
+  python test.py --mock --fixture-dir tests/fixtures --truncate 4
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="RaDialog-TPU batch evaluation")
+    # ---- reference flags (test.py:259-272)
+    p.add_argument("--prompt", type=str,
+                   default="img_matching_examples_ig2_noexamples_IMG_findings",
+                   help="prompt type (vicuna_prompts.json key)")
+    p.add_argument("--lora_model", type=str, default=None, help="lora adapter path")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--use_embs", action="store_true", default=False,
+                   help="condition on image embeddings")
+    p.add_argument("--do_sample", action="store_true", default=False)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--do_corr", action="store_true", default=False)
+    p.add_argument("--do_cp_bin_qa", action="store_true", default=False)
+    p.add_argument("--do_cp_all_qa", action="store_true", default=False)
+    p.add_argument("--strat_eval", action="store_true", default=False)
+    # ---- path / runtime flags (replace local_config.py)
+    p.add_argument("--vicuna_path", type=str, default=None)
+    p.add_argument("--blip2_checkpoint", type=str, default=None)
+    p.add_argument("--chexbert_checkpoint", type=str, default=None)
+    p.add_argument("--emb_cache", type=str, default=None)
+    p.add_argument("--split_csv", type=str, default=None)
+    p.add_argument("--sectioned_csv", type=str, default=None)
+    p.add_argument("--chexpert_csv", type=str, default=None)
+    p.add_argument("--preds_json", type=str, default=None)
+    p.add_argument("--fixture-dir", type=str, default=None,
+                   help="directory holding split.csv/sectioned.csv/chexpert.csv/preds.json")
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--truncate", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--max_new_tokens", type=int, default=300)
+    p.add_argument("--output_dir", type=str, default="vicuna_results")
+    p.add_argument("--exp_name", type=str, default=None)
+    p.add_argument("--mock", action="store_true", default=False,
+                   help="tiny seeded models — full pipeline without weights")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    random.seed(42)
+    np.random.seed(42)
+
+    from radialog_tpu.apps.evaluate import EvalOptions, run_eval
+    from radialog_tpu.apps.pipeline import PipelineConfig, RaDialogPipeline
+    from radialog_tpu.data.datasets import (MimicPaths, ReportGenData,
+                                            stratified_indices)
+
+    fx = Path(args.fixture_dir) if args.fixture_dir else None
+    paths = MimicPaths(
+        split_csv=args.split_csv or str(fx / "split.csv"),
+        sectioned_csv=args.sectioned_csv or str(fx / "sectioned.csv"),
+        chexpert_csv=args.chexpert_csv or str(fx / "chexpert.csv"),
+        predicted_findings_json=args.preds_json or
+        (str(fx / "preds.json") if fx and (fx / "preds.json").exists() else None),
+    )
+    ds = ReportGenData(paths, split=args.split, prompt_type=args.prompt,
+                       truncate=args.truncate)
+    if args.strat_eval:
+        idx = stratified_indices(ds.annotation)
+        records = [ds[ds.annotation.index.get_loc(i)] for i in idx]
+    else:
+        records = ds.records()
+    print(f"eval records: {len(records)}")
+
+    pipe = RaDialogPipeline(PipelineConfig(
+        vicuna_path=args.vicuna_path, lora_path=args.lora_model,
+        blip2_checkpoint=args.blip2_checkpoint,
+        chexbert_checkpoint=args.chexbert_checkpoint,
+        emb_cache=args.emb_cache, mock=args.mock,
+        max_new_tokens=args.max_new_tokens))
+
+    emb_provider = None
+    if args.use_embs:
+        cfg = pipe.llama_cfg
+        rng = np.random.default_rng(0)
+        cache = pipe.emb_cache
+
+        def emb_provider(dicoms):
+            rows = []
+            for d in dicoms:
+                if str(d) in cache:
+                    rows.append(np.asarray(cache[str(d)]))
+                else:  # mock: deterministic per-dicom embedding
+                    r = np.random.default_rng(abs(hash(str(d))) % (2**32))
+                    rows.append(r.normal(size=(cfg.num_img_tokens,
+                                                cfg.qformer_dim)).astype(np.float32))
+            return np.stack(rows)
+
+    opts = EvalOptions(
+        use_embs=args.use_embs, do_sample=args.do_sample,
+        temperature=args.temperature, do_corr=args.do_corr,
+        do_cp_bin_qa=args.do_cp_bin_qa, do_cp_all_qa=args.do_cp_all_qa,
+        batch_size=args.batch_size, max_new_tokens=args.max_new_tokens,
+        exp_name=args.exp_name or f"{args.prompt}_{'embs' if args.use_embs else 'noembs'}",
+        output_dir=args.output_dir)
+
+    results = run_eval(pipe, records, opts, emb_provider=emb_provider)
+    print(json.dumps({k: round(float(v), 6) for k, v in results.items()},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
