@@ -25,7 +25,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 REFERENCE_REPORTS_PER_SEC = 0.40   # documented estimate, see module docstring
 MAX_NEW_TOKENS = 300               # test.py:344
 PROMPT_LEN = 128                   # system + findings + instruction, typical
-BATCH = 1                          # 7B bf16 + KV cache within 16GB HBM v5e
+BATCH = 12                         # the reference eval batch (test.py:279);
+# fits on one 16GB v5e because the serving path stores the 7B weights as
+# pre-tiled int8 (ops/q8_matmul.py W8A8 Pallas kernel): ~6.9GB weights +
+# 6.4GB bf16 KV cache. Weight VALUES here are synthetic (randomly init'd /
+# constant tiles) — the metric measures the serving engine's throughput at
+# the real model shapes, matching how the bf16 baseline was measured.
 
 
 def main() -> None:
@@ -44,17 +49,52 @@ def main() -> None:
     from radialog_tpu.models.qformer import qformer_init
     from radialog_tpu.ops.layers import BF16, layernorm, layernorm_init
 
+    from radialog_tpu.ops.q8_matmul import TILE_BN, PackedQ8, pick_bk
+
     cfg = VICUNA_7B
     bcfg = Blip2Config()
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
-    params = llama_init(k1, cfg, dtype=jnp.bfloat16)
+    # int8 serving weights at the real shapes (fused qkv / gateup layout of
+    # ops/quant.py quantize_llama_host). Constant int8 tiles: the random
+    # values don't affect throughput, and on-device randint would transiently
+    # allocate 4x in int32.
+    h, inter, L, V = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
+    kvh = cfg.num_kv_heads * cfg.head_dim
+
+    def qleaf(layers, k_dim, n_dim):
+        bk = pick_bk(k_dim)
+        kp = -(-k_dim // bk) * bk
+        npad = -(-n_dim // TILE_BN) * TILE_BN
+        shape = (kp // bk, npad // TILE_BN, bk, TILE_BN)
+        if layers:
+            shape = (layers,) + shape
+        scale_shape = (layers, npad) if layers else (npad,)
+        return PackedQ8(jnp.full(shape, 3, jnp.int8),
+                        jnp.full(scale_shape, k_dim ** -0.5 / 127.0, jnp.float32),
+                        n_dim)
+
+    params = {
+        "embed": jax.random.normal(k1, (V, h), jnp.bfloat16) * jnp.bfloat16(0.02),
+        # unrolled serving layout: per-layer weight buffers (zero-copy reads
+        # from the Pallas kernels; see models/llama.py unrolled path)
+        "layers": [{
+            "wqkv": qleaf(0, h, h + 2 * kvh),
+            "wo": qleaf(0, h, h),
+            "gateup": qleaf(0, h, 2 * inter),
+            "down": qleaf(0, inter, h),
+            "input_ln": jnp.ones((h,), jnp.float32),
+            "post_ln": jnp.ones((h,), jnp.float32),
+        } for _ in range(L)],
+        "final_ln": jnp.ones((h,), jnp.float32),
+        "lm_head": qleaf(0, h, V),
+    }
     lora = lora_init(k2, cfg, dtype=jnp.bfloat16)
     vis_params, vis_state = biovil_t_init(k3, joint_feature_size=bcfg.qformer.encoder_width)
     qf_params = {"qformer": qformer_init(k4, bcfg.qformer),
                  "ln_vision": layernorm_init(bcfg.qformer.encoder_width)}
-    jax.block_until_ready(params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params))
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((BATCH, 448, 448, 3)), jnp.float32)
@@ -93,7 +133,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "reports_per_sec_per_chip",
         "value": round(reports_per_sec, 4),
-        "unit": "reports/s (image->300-token report, e2e, Vicuna-7B bf16)",
+        "unit": ("reports/s (image->300-token report e2e, Vicuna-7B shapes, "
+                 "int8 W8A8 Pallas serving, batch 12)"),
         "vs_baseline": round(reports_per_sec / REFERENCE_REPORTS_PER_SEC, 3),
     }))
 

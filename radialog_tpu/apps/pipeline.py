@@ -216,7 +216,7 @@ class RaDialogPipeline:
                               policy=self.policy)
         res = decode_loop(self.llama, self.llama_cfg, cache, last,
                           jnp.asarray(lengths), dp, lora=self.lora,
-                          policy=self.policy)
+                          policy=self.policy, prompt_pad=tokens.shape[1])
         gen = np.asarray(res.tokens)
         out = []
         for i, p in enumerate(prompts):

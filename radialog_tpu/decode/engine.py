@@ -23,8 +23,9 @@ from typing import Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.llama import (KVCache, LlamaConfig, decode_bias, find_img_start,
-                            init_cache, llama_apply, prefill_bias)
+from ..models.llama import (KVCache, LlamaConfig, decode_bias_static_slot,
+                            find_img_start, init_cache, llama_apply,
+                            prefill_bias)
 from ..ops.layers import DTypePolicy, FP32
 from .kvcache import bucket_length, install_prefill
 
@@ -80,12 +81,23 @@ def _select_token(logits: jax.Array, dp: DecodeParams, key) -> jax.Array:
 def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
                 first_logits: jax.Array, prompt_lengths: jax.Array,
                 dp: DecodeParams, lora: Optional[Dict] = None,
-                policy: DTypePolicy = FP32) -> GenerationResult:
-    """Greedy/sampled decode with early exit once all sequences emit EOS."""
+                policy: DTypePolicy = FP32,
+                prompt_pad: Optional[int] = None) -> GenerationResult:
+    """Greedy/sampled decode with early exit once all sequences emit EOS.
+
+    Static-slot KV writes: step s writes every sequence's K/V at slot
+    prompt_pad + s (one contiguous dynamic_update_slice, aliased in place by
+    XLA) while RoPE positions and attention masks stay per-sequence — the
+    pad gap between len_i and prompt_pad is masked (decode_bias_static_slot).
+    """
     b = first_logits.shape[0]
     s_max = cache.max_len
     max_new = dp.max_new_tokens
     key0 = jax.random.PRNGKey(dp.seed)
+    if prompt_pad is None:
+        raise ValueError("decode_loop requires prompt_pad (padded prompt length)")
+    if prompt_pad + max_new > s_max:
+        raise ValueError(f"cache too small: {prompt_pad}+{max_new} > {s_max}")
 
     tok0 = _select_token(first_logits, dp, key0)
     out0 = jnp.full((b, max_new), dp.eos_token_id, jnp.int32)
@@ -98,12 +110,12 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
 
     def body(st):
         step, cache, out, done, last_tok, key = st
-        # current token sits at absolute position prompt_len + step
+        # RoPE position of the current token: prompt_len + step (per-seq)
         pos = (prompt_lengths + step)[:, None]
-        bias = decode_bias(prompt_lengths + step + 1, s_max)
+        bias = decode_bias_static_slot(prompt_lengths, prompt_pad, step, s_max)
         logits, cache = llama_apply(
             params, cfg, last_tok[:, None], pos, bias, cache=cache,
-            write_pos=prompt_lengths + step, lora=lora, policy=policy)
+            write_pos=prompt_pad + step, lora=lora, policy=policy)
         key, sub = jax.random.split(key)
         nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
         nxt = jnp.where(done, dp.eos_token_id, nxt)
@@ -132,7 +144,7 @@ def generate(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     cache, last = prefill(params, cfg, tokens, lengths, cache_len,
                           img_embs=img_embs, lora=lora, policy=policy)
     return decode_loop(params, cfg, cache, last, lengths, dp, lora=lora,
-                       policy=policy)
+                       policy=policy, prompt_pad=t)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dp", "cache_len", "policy"))

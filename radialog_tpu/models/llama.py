@@ -135,12 +135,26 @@ def lora_init(key, cfg: LlamaConfig, rank: int = 8, alpha: float = 16.0,
             "scale": jnp.asarray(alpha / rank, jnp.float32)}
 
 
+def _index_lora(lora_layers, i: int):
+    """Static per-layer slice of the stacked LoRA tree (tiny arrays)."""
+    if lora_layers is None:
+        return None
+    return jax.tree_util.tree_map(lambda a: a[i], lora_layers)
+
+
+def _lora_delta(lora_layer: Dict, name: str, x: jax.Array, lora_scale,
+                policy: DTypePolicy):
+    if name not in lora_layer:
+        return 0.0
+    la = lora_layer[name]
+    return lora_scale * linear({"w": la["b"]}, linear({"w": la["a"]}, x, policy), policy)
+
+
 def _proj(p: Dict, lora_layer: Optional[Dict], name: str, x: jax.Array,
           lora_scale, policy: DTypePolicy) -> jax.Array:
     y = linear(p[name], x, policy)
     if lora_layer is not None and name in lora_layer:
-        la = lora_layer[name]
-        y = y + lora_scale * linear({"w": la["b"]}, linear({"w": la["a"]}, x, policy), policy)
+        y = y + _lora_delta(lora_layer, name, x, lora_scale, policy)
     return y
 
 
@@ -170,24 +184,63 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      bias: jax.Array,
                      cache_layer: Optional[Tuple[jax.Array, jax.Array]],
                      write_pos: Optional[jax.Array],
-                     policy: DTypePolicy):
+                     policy: DTypePolicy,
+                     direct_cache=None):
     """One layer's attention. cache_layer: (B,S,H,D) k/v for this layer, or
-    None at prefill (fresh K/V are returned for bulk cache install)."""
+    None at prefill (fresh K/V are returned for bulk cache install);
+    direct_cache: (ck_full, cv_full, static layer idx) for the unrolled
+    serving path."""
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = _proj(lp, lora_layer, "wq", x, lora_scale, policy).reshape(b, t, nh, hd)
-    k = _proj(lp, lora_layer, "wk", x, lora_scale, policy).reshape(b, t, nkv, hd)
-    v = _proj(lp, lora_layer, "wv", x, lora_scale, policy).reshape(b, t, nkv, hd)
+    if "wqkv" in lp:
+        # fused serving path (quantize_llama_host): one packed matmul for
+        # q|k|v, LoRA deltas added to the slices
+        qkv = linear(lp["wqkv"], x, policy)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        if lora_layer is not None:
+            q = q + _lora_delta(lora_layer, "wq", x, lora_scale, policy)
+            k = k + _lora_delta(lora_layer, "wk", x, lora_scale, policy)
+            v = v + _lora_delta(lora_layer, "wv", x, lora_scale, policy)
+        q = q.reshape(b, t, nh, hd)
+        k = k.reshape(b, t, nkv, hd)
+        v = v.reshape(b, t, nkv, hd)
+    else:
+        q = _proj(lp, lora_layer, "wq", x, lora_scale, policy).reshape(b, t, nh, hd)
+        k = _proj(lp, lora_layer, "wk", x, lora_scale, policy).reshape(b, t, nkv, hd)
+        v = _proj(lp, lora_layer, "wv", x, lora_scale, policy).reshape(b, t, nkv, hd)
     cos, sin = rope
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
 
-    if cache_layer is not None:
-        # scatter new K/V at per-sequence write offsets, attend the full cache
-        bi = jnp.arange(b)[:, None]
-        ti = write_pos[:, None] + jnp.arange(t)[None, :]
-        ck = cache_layer[0].at[bi, ti].set(k.astype(cache_layer[0].dtype))
-        cv = cache_layer[1].at[bi, ti].set(v.astype(cache_layer[1].dtype))
+    if direct_cache is not None:
+        # Unrolled serving path: write the step's K/V straight into the FULL
+        # (L,B,S,H,D) cache at a static layer index + shared slot — one small
+        # in-place dynamic_update_slice. (The scan path's slice-out /
+        # modify / write-back costs two 50MB copies per layer per step.)
+        ck_full, cv_full, layer_idx = direct_cache
+        ck_full = jax.lax.dynamic_update_slice(
+            ck_full, k[None].astype(ck_full.dtype), (layer_idx, 0, write_pos, 0, 0))
+        cv_full = jax.lax.dynamic_update_slice(
+            cv_full, v[None].astype(cv_full.dtype), (layer_idx, 0, write_pos, 0, 0))
+        new_cache_layer = (ck_full, cv_full)
+        # static layer slice: fuses into the attention matmul, no copy
+        k_all = ck_full[layer_idx].astype(x.dtype)
+        v_all = cv_full[layer_idx].astype(x.dtype)
+    elif cache_layer is not None:
+        if write_pos.ndim == 0:
+            # static-slot decode: every sequence writes the SAME slot, so the
+            # update is one contiguous dynamic_update_slice. A per-sequence
+            # scatter here forces a full-cache copy every step.
+            ck = jax.lax.dynamic_update_slice(
+                cache_layer[0], k.astype(cache_layer[0].dtype), (0, write_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cache_layer[1], v.astype(cache_layer[1].dtype), (0, write_pos, 0, 0))
+        else:
+            # per-sequence offsets (ragged writes): scatter path
+            bi = jnp.arange(b)[:, None]
+            ti = write_pos[:, None] + jnp.arange(t)[None, :]
+            ck = cache_layer[0].at[bi, ti].set(k.astype(cache_layer[0].dtype))
+            cv = cache_layer[1].at[bi, ti].set(v.astype(cache_layer[1].dtype))
         new_cache_layer = (ck, cv)
         k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
     else:
@@ -204,9 +257,14 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
 
 
 def _mlp(lp: Dict, x: jax.Array, policy: DTypePolicy) -> jax.Array:
-    g = jax.nn.silu(linear(lp["gate"], x, policy))
-    u = linear(lp["up"], x, policy)
-    return linear(lp["down"], g * u, policy)
+    if "gateup" in lp:  # fused serving path
+        gu = linear(lp["gateup"], x, policy)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = jax.nn.silu(linear(lp["gate"], x, policy))
+        u = linear(lp["up"], x, policy)
+        return linear(lp["down"], g * u, policy)
+    return linear(lp["down"], jax.nn.silu(g) * u, policy)
 
 
 def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
@@ -235,24 +293,80 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         x = splice_image_embeddings(x, projected, img_start)
 
     rope = rope_tables(cfg.head_dim, cfg.max_position, cfg.rope_theta)
-
-    def layer_fn(x, scanned):
-        lp, ll, cache_layer = scanned
-        h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
-        attn_out, new_cache_layer = _attention_block(
-            lp, ll, lora_scale, cfg, h, positions, rope, bias,
-            cache_layer, write_pos, policy)
-        x = x + attn_out
-        h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
-        x = x + _mlp(lp, h, policy)
-        return x, new_cache_layer
-
-    body = jax.checkpoint(layer_fn) if remat else layer_fn
     lora_layers = lora["layers"] if lora is not None else None
-    cache_layers = (cache.k, cache.v) if cache is not None else None
-    # scan over stacked layer params: O(1) compile in depth
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["layers"], lora_layers, cache_layers))
+
+    if isinstance(params["layers"], (list, tuple)):
+        # UNROLLED serving path (quantize_llama_host(..., stacked=False)):
+        # per-layer weight buffers feed the Pallas custom-calls directly —
+        # lax.scan's per-layer slices of stacked weights materialize an
+        # HBM->HBM copy of every layer's weights each step (profiled at
+        # ~8.5ms/step for Vicuna-7B on v5e) because custom-calls cannot
+        # consume fused slices.
+        ck, cv = (cache.k, cache.v) if cache is not None else (None, None)
+        fresh_k, fresh_v = [], []
+        for i, lp in enumerate(params["layers"]):
+            ll = _index_lora(lora_layers, i)
+            h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
+            direct = (ck, cv, i) if cache is not None else None
+            attn_out, cache_out = _attention_block(
+                lp, ll, lora_scale, cfg, h, positions, rope, bias,
+                None, write_pos, policy, direct_cache=direct)
+            if cache is not None:
+                ck, cv = cache_out
+            else:
+                fresh_k.append(cache_out[0])
+                fresh_v.append(cache_out[1])
+            x = x + attn_out
+            h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
+            x = x + _mlp(lp, h, policy)
+        x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
+        logits = linear(params["lm_head"], x, policy).astype(jnp.float32)
+        if cache is not None:
+            return logits, KVCache(ck, cv)
+        return logits, KVCache(jnp.stack(fresh_k), jnp.stack(fresh_v))
+
+    if cache is not None:
+        # Decode: the FULL stacked cache rides the scan CARRY so XLA aliases
+        # the update in place. Returning per-layer cache slices as stacked
+        # scan outputs instead forces a copy of the whole (L,B,S,H,D) cache
+        # every step — measured +23ms/step at batch 12, cache 512 on v5e.
+        def layer_fn(carry, scanned):
+            x, ck, cv = carry
+            lp, ll, i = scanned
+            h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
+            layer_cache = (jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False),
+                           jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False))
+            attn_out, (nk, nv) = _attention_block(
+                lp, ll, lora_scale, cfg, h, positions, rope, bias,
+                layer_cache, write_pos, policy)
+            ck = jax.lax.dynamic_update_index_in_dim(ck, nk, i, 0)
+            cv = jax.lax.dynamic_update_index_in_dim(cv, nv, i, 0)
+            x = x + attn_out
+            h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
+            x = x + _mlp(lp, h, policy)
+            return (x, ck, cv), None
+
+        body = jax.checkpoint(layer_fn) if remat else layer_fn
+        (x, new_k, new_v), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v),
+            (params["layers"], lora_layers, jnp.arange(cfg.num_layers)))
+    else:
+        # Prefill: fresh per-layer K/V are genuinely new arrays — collect
+        # them as stacked scan outputs for the bulk cache install.
+        def layer_fn(x, scanned):
+            lp, ll = scanned
+            h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
+            attn_out, new_cache_layer = _attention_block(
+                lp, ll, lora_scale, cfg, h, positions, rope, bias,
+                None, write_pos, policy)
+            x = x + attn_out
+            h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
+            x = x + _mlp(lp, h, policy)
+            return x, new_cache_layer
+
+        body = jax.checkpoint(layer_fn) if remat else layer_fn
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], lora_layers))
 
     x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
     logits = linear(params["lm_head"], x, policy).astype(jnp.float32)
@@ -275,4 +389,16 @@ def decode_bias(kv_valid_len: jax.Array, s_max: int, dtype=jnp.float32) -> jax.A
     """(B,1,1,S) bias for single-token decode: attend kv j < kv_valid_len."""
     kj = jnp.arange(s_max)[None, :]
     ok = kj < kv_valid_len[:, None]
+    return jnp.where(ok, 0.0, NEG_INF).astype(dtype)[:, None, None, :]
+
+
+def decode_bias_static_slot(lengths: jax.Array, prompt_pad: int, step,
+                            s_max: int, dtype=jnp.float32) -> jax.Array:
+    """(B,1,1,S) bias for static-slot decode: prefill KV live at j < len_i;
+    generated KV live at prompt_pad <= j <= prompt_pad + step. The pad gap
+    between len_i and prompt_pad holds garbage and is masked."""
+    kj = jnp.arange(s_max)[None, :]
+    in_prompt = kj < lengths[:, None]
+    in_generated = (kj >= prompt_pad) & (kj <= prompt_pad + step)
+    ok = in_prompt | in_generated
     return jnp.where(ok, 0.0, NEG_INF).astype(dtype)[:, None, None, :]

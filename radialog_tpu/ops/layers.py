@@ -55,6 +55,14 @@ def linear_init(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p: dict, x: jax.Array, policy: DTypePolicy = FP32) -> jax.Array:
+    if type(p).__name__ == "PackedQ8":  # pre-tiled W8A8 serving leaf
+        from .quant import on_tpu
+        from .q8_matmul import q8_matmul_packed, q8_matmul_reference
+        fn = q8_matmul_packed if on_tpu() else q8_matmul_reference
+        return fn(x, p, out_dtype=policy.compute)
+    if "w_q" in p:  # simple int8 leaf (ops/quant.py)
+        from .quant import linear_q8
+        return linear_q8(p, x, compute_dtype=policy.compute)
     y = jnp.dot(policy.cast(x), policy.cast(p["w"]),
                 preferred_element_type=policy.compute)
     if "b" in p:
