@@ -1,0 +1,152 @@
+"""ctypes bindings for the C++ image pipeline (src/cxr_loader.cpp).
+
+Builds the shared library on first use (g++ -O3 -ljpeg, cached next to the
+source); falls back to the PIL/numpy implementation (ops/image.py) when the
+toolchain or libjpeg is unavailable, so every caller works everywhere and the
+native path is a pure speedup.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "src" / "cxr_loader.cpp"
+_LIB = Path(__file__).parent / "src" / "libcxr_loader.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def build_native(force: bool = False) -> Optional[ctypes.CDLL]:
+    """Compile (if needed) and dlopen the loader library."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None and not force:
+            return _lib
+        if _build_failed and not force:
+            return None
+        if force or not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", str(_SRC), "-o", str(_LIB), "-ljpeg",
+                   "-lpthread"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, text=True)
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.cxr_loader_create.restype = ctypes.c_void_p
+        lib.cxr_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64]
+        lib.cxr_loader_next.restype = ctypes.c_int
+        lib.cxr_loader_next.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_float),
+                                        ctypes.POINTER(ctypes.c_int)]
+        lib.cxr_loader_reset.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.cxr_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.cxr_preprocess_file.restype = ctypes.c_int
+        lib.cxr_preprocess_file.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                            ctypes.c_int,
+                                            ctypes.POINTER(ctypes.c_float)]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return build_native() is not None
+
+
+def preprocess_file(path: str, resize: int = 512, crop: int = 448) -> np.ndarray:
+    """Single-image decode+preprocess -> (crop, crop, 3) float32 [0,1].
+    Native when available, PIL fallback otherwise."""
+    lib = build_native()
+    if lib is not None:
+        out = np.empty((crop, crop, 3), np.float32)
+        rc = lib.cxr_preprocess_file(
+            str(path).encode(), resize, crop,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc == 0:
+            return out
+    from ..ops.image import load_image_grayscale, preprocess_cxr_np
+    return preprocess_cxr_np(load_image_grayscale(path), resize, crop)
+
+
+class CxrLoader:
+    """Batched multithreaded image pipeline.
+
+    >>> with CxrLoader(paths, batch=32, crop=448) as ld:
+    ...     for images, indices in ld.epoch(seed=0):
+    ...         step(images)   # (n, crop, crop, 3) float32, n <= batch
+    """
+
+    def __init__(self, paths: Sequence[str], batch: int = 32,
+                 resize: int = 512, crop: int = 448, threads: int = 4,
+                 shuffle: bool = True, seed: int = 0):
+        self.paths = [str(p) for p in paths]
+        self.batch = batch
+        self.resize = resize
+        self.crop = crop
+        self.threads = threads
+        self.shuffle = shuffle
+        self._lib = build_native()
+        self._handle = None
+        if self._lib is not None:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths])
+            self._paths_buf = arr  # keep alive
+            self._handle = self._lib.cxr_loader_create(
+                arr, len(self.paths), batch, resize, crop, threads,
+                int(shuffle), seed)
+
+    # ------------------------------------------------------------- lifecycle
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.cxr_loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self) -> "CxrLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # -------------------------------------------------------------- iterate
+    def epoch(self, seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if self._handle is not None:
+            self._lib.cxr_loader_reset(self._handle, seed)
+            while True:
+                images = np.empty((self.batch, self.crop, self.crop, 3), np.float32)
+                idx = np.empty((self.batch,), np.int32)
+                n = self._lib.cxr_loader_next(
+                    self._handle,
+                    images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+                if n <= 0:
+                    return
+                yield images[:n], idx[:n]
+        else:  # pure-python fallback
+            order = np.arange(len(self.paths))
+            if self.shuffle:
+                np.random.default_rng(seed).shuffle(order)
+            for i0 in range(0, len(order), self.batch):
+                sel = order[i0:i0 + self.batch]
+                imgs = np.stack([preprocess_file(self.paths[i], self.resize,
+                                                 self.crop) for i in sel])
+                yield imgs.astype(np.float32), sel.astype(np.int32)
