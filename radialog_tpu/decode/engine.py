@@ -66,7 +66,8 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     img_start = find_img_start(tokens, cfg.img_token_id) if img_embs is not None else None
     logits, fresh = llama_apply(params, cfg, tokens, positions, bias,
                                 cache=None, img_embs=img_embs,
-                                img_start=img_start, lora=lora, policy=policy)
+                                img_start=img_start, lora=lora, policy=policy,
+                                lengths=lengths)
     cache = install_prefill(init_cache(cfg, b, cache_len), fresh)
     last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
     return cache, last

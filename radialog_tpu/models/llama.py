@@ -185,7 +185,8 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      cache_layer: Optional[Tuple[jax.Array, jax.Array]],
                      write_pos: Optional[jax.Array],
                      policy: DTypePolicy,
-                     direct_cache=None):
+                     direct_cache=None,
+                     lengths: Optional[jax.Array] = None):
     """One layer's attention. cache_layer: (B,S,H,D) k/v for this layer, or
     None at prefill (fresh K/V are returned for bulk cache install);
     direct_cache: (ck_full, cv_full, static layer idx) for the unrolled
@@ -252,8 +253,20 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
         k_all = jnp.repeat(k_all, rep, axis=2)
         v_all = jnp.repeat(v_all, rep, axis=2)
 
-    o = mha(q, k_all, v_all, bias=bias).reshape(b, t, h)
+    if _use_flash(cache_layer, direct_cache, lengths, t):
+        from ..ops.flash_attention import flash_attention
+        o = flash_attention(q, k_all, v_all, lengths, causal=True).reshape(b, t, h)
+    else:
+        o = mha(q, k_all, v_all, bias=bias).reshape(b, t, h)
     return _proj(lp, lora_layer, "wo", o, lora_scale, policy), new_cache_layer
+
+
+def _use_flash(cache_layer, direct_cache, lengths, t: int) -> bool:
+    """Pallas flash attention on TPU for long prefill/training sequences; the
+    XLA path stays for decode (KV streaming), short sequences, and CPU."""
+    return (cache_layer is None and direct_cache is None
+            and lengths is not None and t >= 256
+            and jax.default_backend() in ("tpu", "axon"))
 
 
 def _mlp(lp: Dict, x: jax.Array, policy: DTypePolicy) -> jax.Array:
@@ -275,7 +288,8 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 img_start: Optional[jax.Array] = None,
                 lora: Optional[Dict] = None,
                 policy: DTypePolicy = FP32,
-                remat: bool = False):
+                remat: bool = False,
+                lengths: Optional[jax.Array] = None):
     """Core transformer. Returns (logits, new_cache).
 
     tokens: (B, T); positions: (B, T) absolute positions for RoPE;
@@ -310,7 +324,8 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             direct = (ck, cv, i) if cache is not None else None
             attn_out, cache_out = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
-                None, write_pos, policy, direct_cache=direct)
+                None, write_pos, policy, direct_cache=direct,
+                lengths=lengths)
             if cache is not None:
                 ck, cv = cache_out
             else:
@@ -358,7 +373,7 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
             attn_out, new_cache_layer = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
-                None, write_pos, policy)
+                None, write_pos, policy, lengths=lengths)
             x = x + attn_out
             h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
             x = x + _mlp(lp, h, policy)

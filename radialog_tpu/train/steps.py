@@ -62,7 +62,8 @@ def lora_loss_fn(lora: Dict, base_params: Dict, cfg: LlamaConfig,
     img_start = find_img_start(tokens, cfg.img_token_id) if img_embs is not None else None
     logits, _ = llama_apply(base_params, cfg, tokens, positions, bias,
                             img_embs=img_embs, img_start=img_start,
-                            lora=lora, policy=policy, remat=remat)
+                            lora=lora, policy=policy, remat=remat,
+                            lengths=lengths)
     return masked_ce(logits, labels)
 
 
