@@ -28,21 +28,39 @@ RG_PROMPT = (
 
 
 class ChatSession:
-    """Multi-turn RaDialog dialog over one (optional) image."""
+    """Multi-turn RaDialog dialog over one (optional) image.
+
+    With ``prefix_cache`` (default) each turn runs an incremental prefill of
+    only the NEW tokens against a persistent KV cache
+    (decode/session.InteractiveSession) — the reference re-prefills the whole
+    conversation every turn (demo.py:281-297). Token-prefix mismatches (e.g.
+    after manual conversation edits) fall back to a full re-prefill.
+    """
 
     def __init__(self, pipe: RaDialogPipeline, gen_report: bool = True,
-                 precomputed_findings: Optional[Dict[str, List[str]]] = None):
+                 precomputed_findings: Optional[Dict[str, List[str]]] = None,
+                 prefix_cache: bool = True, cache_len: int = 2048):
         self.pipe = pipe
         self.gen_report = gen_report
         self.precomputed = precomputed_findings or {}
         self.conv = Conversation(system=DEMO_SYSTEM)
         self.img_embs = None
         self.findings: Optional[str] = None
+        self.session = None
+        if prefix_cache:
+            from ..decode.session import InteractiveSession
+            cache_len = min(cache_len, pipe.llama_cfg.max_position)
+            self.session = InteractiveSession(pipe.llama, pipe.llama_cfg,
+                                              lora=pipe.lora,
+                                              policy=pipe.policy,
+                                              cache_len=cache_len)
 
     def reset(self) -> None:
         self.conv = Conversation(system=DEMO_SYSTEM)
         self.img_embs = None
         self.findings = None
+        if self.session is not None:
+            self.session.reset()
 
     # ---------------------------------------------------------------- image
     def load_image(self, path: str) -> Tuple[str, Optional[str]]:
@@ -79,11 +97,37 @@ class ChatSession:
         self.conv.append_user(user_text)
         self.conv.append_assistant(None)
         prompt = self.conv.get_prompt()
-        decoded = self.pipe.generate_texts(
-            [prompt],
-            img_embs=self.img_embs if self.img_embs is not None else None,
-            max_new_tokens=300)[0]
-        reply = decoded.split("ASSISTANT:")[-1].strip()
+        if self.session is not None:
+            reply = self._generate_incremental(prompt)
+        else:
+            decoded = self.pipe.generate_texts(
+                [prompt],
+                img_embs=self.img_embs if self.img_embs is not None else None,
+                max_new_tokens=300)[0]
+            reply = decoded.split("ASSISTANT:")[-1].strip()
         self.conv.messages.pop()
         self.conv.append_assistant(reply)
         return reply
+
+    def _generate_incremental(self, prompt: str) -> str:
+        from ..decode.engine import DecodeParams
+        import jax.numpy as jnp
+        tok = self.pipe.tokenizer
+        full_ids = tok(prompt)["input_ids"]
+        prev = self.session.token_ids + self.session._pending_tail
+        embs = (jnp.asarray(self.img_embs) if self.img_embs is not None
+                else None)
+        if prev and full_ids[:len(prev)] == prev:
+            delta = full_ids[len(prev):]
+            # embs are spliced only if the delta itself contains an <IMG> run
+            # (e.g. a new scan uploaded mid-conversation); find_img_start
+            # returns -1 otherwise and the splice is a no-op
+            self.session.append_tokens(delta, img_embs=embs)
+        else:
+            self.session.reset()
+            self.session.append_tokens(full_ids, img_embs=embs)
+        max_new = max(1, min(300, self.session.remaining - 1))
+        dp = DecodeParams(max_new_tokens=max_new,
+                          eos_token_id=tok.eos_token_id, seed=self.pipe.cfg.seed)
+        ids = self.session.generate(dp)
+        return tok.decode(ids, skip_special_tokens=True).strip()

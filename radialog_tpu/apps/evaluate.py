@@ -33,6 +33,7 @@ class EvalOptions:
     use_embs: bool = False
     do_sample: bool = False
     temperature: float = 1.0
+    num_beams: int = 1
     do_corr: bool = False
     do_cp_bin_qa: bool = False
     do_cp_all_qa: bool = False
@@ -68,7 +69,8 @@ def run_eval(pipe: RaDialogPipeline, records: List[Dict], opts: EvalOptions,
         decoded = pipe.generate_texts(prompts, img_embs=embs,
                                       max_new_tokens=opts.max_new_tokens,
                                       do_sample=opts.do_sample,
-                                      temperature=opts.temperature)
+                                      temperature=opts.temperature,
+                                      num_beams=opts.num_beams)
         preds_history.extend(decoded)
         all_preds.extend(extract_report(d).strip() for d in decoded)
 

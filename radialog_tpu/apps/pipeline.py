@@ -48,6 +48,7 @@ class PipelineConfig:
     emb_cache: Optional[str] = None          # npz: dicom -> (32,768)
     mock: bool = False                       # tiny seeded models, no weights
     bf16: bool = True
+    quantize: bool = False                   # int8 W8A8 serving (ops/quant.py)
     max_new_tokens: int = 300                # test.py:344
     seed: int = 42
 
@@ -67,7 +68,7 @@ class RaDialogPipeline:
             # mock keeps the REAL interface contract: 32 <IMG> slots, 32
             # query tokens, matching qformer_dim — only widths/depths shrink
             self.llama_cfg = dataclasses.replace(
-                TINY_LLAMA, num_img_tokens=32,
+                TINY_LLAMA, num_img_tokens=32, max_position=512,
                 qformer_dim=TINY_QFORMER.bert.hidden_size)
             self.tokenizer = WhitespaceTokenizer(
                 vocab_size=self.llama_cfg.vocab_size,
@@ -136,11 +137,16 @@ class RaDialogPipeline:
             self.emb_cache = dict(np.load(cfg.emb_cache))
 
     # ------------------------------------------------------------- loaders
-    @staticmethod
-    def _load_llama(path: str, dtype) -> Dict:
+    def _load_llama(self, path: str, dtype) -> Dict:
         from ..utils.hf_weights import convert_llama
         sd = _load_hf_state_dict(path)
         params = convert_llama(sd, VICUNA_7B.num_layers)
+        if self.cfg.quantize:
+            # int8 W8A8 serving: quantize on host, stream packed tiles to the
+            # chip (the bf16 copy never touches HBM — 7B bf16 + transients
+            # would OOM a 16GB v5e)
+            from ..ops.quant import quantize_llama_host
+            return quantize_llama_host(params, device=jax.devices()[0])
         return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
 
     def _load_lora(self, path: str, dtype) -> Dict:
@@ -199,8 +205,8 @@ class RaDialogPipeline:
     def generate_texts(self, prompts: Sequence[str],
                        img_embs: Optional[jax.Array] = None,
                        max_new_tokens: Optional[int] = None,
-                       do_sample: bool = False, temperature: float = 1.0
-                       ) -> List[str]:
+                       do_sample: bool = False, temperature: float = 1.0,
+                       num_beams: int = 1) -> List[str]:
         """Tokenize -> prefill -> decode -> full decoded conversations
         (prompt + generation, mirroring batch_decode at test.py:351)."""
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
@@ -210,13 +216,21 @@ class RaDialogPipeline:
             eos_token_id=self.tokenizer.eos_token_id,
             do_sample=do_sample, temperature=temperature, seed=self.cfg.seed)
         cache_len = bucket_length(tokens.shape[1] + dp.max_new_tokens)
-        cache, last = prefill(self.llama, self.llama_cfg, jnp.asarray(tokens),
-                              jnp.asarray(lengths), cache_len,
-                              img_embs=img_embs, lora=self.lora,
-                              policy=self.policy)
-        res = decode_loop(self.llama, self.llama_cfg, cache, last,
-                          jnp.asarray(lengths), dp, lora=self.lora,
-                          policy=self.policy, prompt_pad=tokens.shape[1])
+        if num_beams > 1:
+            from ..decode.beam import generate_beam
+            res = generate_beam(self.llama, self.llama_cfg,
+                                jnp.asarray(tokens), jnp.asarray(lengths), dp,
+                                num_beams=num_beams, img_embs=img_embs,
+                                lora=self.lora, policy=self.policy,
+                                cache_len=cache_len)
+        else:
+            cache, last = prefill(self.llama, self.llama_cfg,
+                                  jnp.asarray(tokens), jnp.asarray(lengths),
+                                  cache_len, img_embs=img_embs,
+                                  lora=self.lora, policy=self.policy)
+            res = decode_loop(self.llama, self.llama_cfg, cache, last,
+                              jnp.asarray(lengths), dp, lora=self.lora,
+                              policy=self.policy, prompt_pad=tokens.shape[1])
         gen = np.asarray(res.tokens)
         out = []
         for i, p in enumerate(prompts):

@@ -1,0 +1,152 @@
+"""Interactive multi-turn serving with a persistent KV cache (prefix cache).
+
+The reference re-prefills the FULL conversation every turn (demo.py:281-297:
+conv.get_prompt() re-encodes all history; generate() recomputes all its KV).
+Here a session keeps one pre-allocated cache across turns:
+
+  turn 1: prefill(prompt + <IMG> splice)            -> cache[0:t1)
+  reply : decode writes cache[t1: t1+g1)
+  turn 2: incremental prefill of ONLY the new turn  -> cache[t1+g1 : ...)
+  ...
+
+so each turn costs O(new tokens) instead of O(conversation). Single-sequence
+(the demo's setting); slots == absolute positions, masks are plain causal
+with offset. Generation buckets the appended turn to multiples of 16 tokens —
+garbage KV in the padded tail sits beyond cur_len, is never unmasked, and is
+overwritten by subsequent writes.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import (KVCache, LlamaConfig, find_img_start, init_cache,
+                            llama_apply)
+from ..ops.attention import causal_mask_bias
+from ..ops.layers import DTypePolicy, FP32
+from .engine import DecodeParams
+
+
+class InteractiveSession:
+    """One conversation's LLM state: cache + current length."""
+
+    def __init__(self, params: Dict, cfg: LlamaConfig,
+                 lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
+                 cache_len: int = 2048):
+        self.params = params
+        self.cfg = cfg
+        self.lora = lora
+        self.policy = policy
+        self.cache_len = cache_len
+        self.reset()
+
+    def reset(self) -> None:
+        self.cache = init_cache(self.cfg, 1, self.cache_len)
+        self.cur_len = 0
+        self.token_ids: List[int] = []
+        self._last_logits = None
+        # the decode loop never writes the FINAL generated token's KV (the
+        # loop exits after selecting it); it is prepended to the next append
+        self._pending_tail: List[int] = []
+
+    @property
+    def remaining(self) -> int:
+        return self.cache_len - self.cur_len
+
+    def append_tokens(self, ids: List[int],
+                      img_embs: Optional[jax.Array] = None) -> None:
+        """Feed new prompt tokens (a full first prompt, or a later turn's
+        delta) through an incremental prefill at the current offset."""
+        ids = self._pending_tail + list(ids)
+        self._pending_tail = []
+        if not ids:
+            return
+        tn = len(ids)
+        pad = (-tn) % 16  # bucket appended turns: bounded compile count
+        padded = list(ids) + [self.cfg.pad_token_id] * pad
+        tokens = jnp.asarray(padded, jnp.int32)[None]
+        t = tokens.shape[1]
+        if self.cur_len + t > self.cache_len:
+            raise ValueError(f"conversation overflow: {self.cur_len}+{t} > "
+                             f"{self.cache_len}")
+        positions = self.cur_len + jnp.arange(t)[None]
+        bias = causal_mask_bias(t, self.cache_len, offset=self.cur_len)
+        img_start = (find_img_start(tokens, self.cfg.img_token_id)
+                     if img_embs is not None else None)
+        logits, self.cache = llama_apply(
+            self.params, self.cfg, tokens, positions, bias, cache=self.cache,
+            write_pos=self.cur_len, img_embs=img_embs, img_start=img_start,
+            lora=self.lora, policy=self.policy)
+        self._last_logits = logits[:, tn - 1]
+        self.cur_len += tn
+        self.token_ids.extend(ids)
+
+    def generate(self, dp: DecodeParams) -> List[int]:
+        """Decode a reply continuing the cached conversation; the generated
+        tokens' KV stays in the cache for the next turn."""
+        if self._last_logits is None:
+            raise RuntimeError("append_tokens must run before generate")
+        if self.cur_len + dp.max_new_tokens > self.cache_len:
+            raise ValueError("conversation overflow")
+        out, gen_len, cache = decode_loop_with_cache(
+            self.params, self.cfg, self.cache, self._last_logits,
+            jnp.asarray([self.cur_len], jnp.int32), dp, lora=self.lora,
+            policy=self.policy, prompt_pad=self.cur_len)
+        self.cache = cache
+        n = int(gen_len[0])
+        new_ids = [int(x) for x in np.asarray(out)[0, :n]]
+        # KV for tokens [0, n-1) is written at slots cur_len..; the final
+        # token (often eos) is only selected, not yet fed through the model
+        written = max(n - 1, 0)
+        self.cur_len += written
+        self.token_ids.extend(new_ids[:written])
+        tail = new_ids[written:]
+        # an eos tail never needs KV (the next turn's text re-tokenizes the
+        # </s> separator); a max-length cut keeps its last token pending
+        self._pending_tail = [t for t in tail if t != dp.eos_token_id]
+        self._last_logits = None
+        return new_ids
+
+
+def decode_loop_with_cache(params, cfg, cache, first_logits, prompt_lengths,
+                           dp, lora=None, policy=FP32, prompt_pad=None):
+    """decode_loop variant that also returns the final cache (the engine's
+    decode_loop drops it; sessions need it to continue the conversation)."""
+    from .engine import _select_token
+
+    b = first_logits.shape[0]
+    s_max = cache.max_len
+    max_new = dp.max_new_tokens
+    key0 = jax.random.PRNGKey(dp.seed)
+    from ..models.llama import decode_bias_static_slot
+
+    tok0 = _select_token(first_logits, dp, key0)
+    out0 = jnp.full((b, max_new), dp.eos_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tok0.astype(jnp.int32))
+    done0 = tok0 == dp.eos_token_id
+
+    def cond(st):
+        return (st[0] < max_new) & ~st[3].all()
+
+    def body(st):
+        step, cache, out, done, last_tok, key = st
+        pos = (prompt_lengths + step)[:, None]
+        bias = decode_bias_static_slot(prompt_lengths, prompt_pad, step, s_max)
+        logits, cache = llama_apply(params, cfg, last_tok[:, None], pos, bias,
+                                    cache=cache, write_pos=prompt_pad + step,
+                                    lora=lora, policy=policy)
+        key, sub = jax.random.split(key)
+        nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
+        nxt = jnp.where(done, dp.eos_token_id, nxt)
+        out = out.at[:, step + 1].set(nxt)
+        done = done | (nxt == dp.eos_token_id)
+        return (step + 1, cache, out, done, nxt, key)
+
+    init = (jnp.asarray(0), cache, out0, done0, tok0.astype(jnp.int32), key0)
+    _, cache, out, done, _, _ = jax.lax.while_loop(cond, body, init)
+    eos_hit = out == dp.eos_token_id
+    gen_len = jnp.where(eos_hit.any(1), jnp.argmax(eos_hit, 1) + 1, max_new)
+    return out, gen_len, cache

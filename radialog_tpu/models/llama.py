@@ -228,7 +228,7 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
         k_all = ck_full[layer_idx].astype(x.dtype)
         v_all = cv_full[layer_idx].astype(x.dtype)
     elif cache_layer is not None:
-        if write_pos.ndim == 0:
+        if jnp.ndim(write_pos) == 0:
             # static-slot decode: every sequence writes the SAME slot, so the
             # update is one contiguous dynamic_update_slice. A per-sequence
             # scatter here forces a full-cache copy every step.

@@ -51,6 +51,8 @@ def parse_args():
     p.add_argument("--exp_name", type=str, default=None)
     p.add_argument("--mock", action="store_true", default=False,
                    help="tiny seeded models — full pipeline without weights")
+    p.add_argument("--int8", action="store_true", default=False,
+                   help="int8 W8A8 serving (fits batch 12 on one v5e)")
     return p.parse_args()
 
 
@@ -85,7 +87,7 @@ def main():
         vicuna_path=args.vicuna_path, lora_path=args.lora_model,
         blip2_checkpoint=args.blip2_checkpoint,
         chexbert_checkpoint=args.chexbert_checkpoint,
-        emb_cache=args.emb_cache, mock=args.mock,
+        emb_cache=args.emb_cache, mock=args.mock, quantize=args.int8,
         max_new_tokens=args.max_new_tokens))
 
     emb_provider = None
@@ -109,6 +111,7 @@ def main():
         use_embs=args.use_embs, do_sample=args.do_sample,
         temperature=args.temperature, do_corr=args.do_corr,
         do_cp_bin_qa=args.do_cp_bin_qa, do_cp_all_qa=args.do_cp_all_qa,
+        num_beams=args.num_beams,
         batch_size=args.batch_size, max_new_tokens=args.max_new_tokens,
         exp_name=args.exp_name or f"{args.prompt}_{'embs' if args.use_embs else 'noembs'}",
         output_dir=args.output_dir)

@@ -1,0 +1,65 @@
+"""Beam-search decode tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radialog_tpu.decode.beam import generate_beam
+from radialog_tpu.decode.engine import DecodeParams, generate
+from radialog_tpu.models.llama import TINY_LLAMA, llama_init
+
+CFG = TINY_LLAMA
+RNG = np.random.default_rng(0)
+
+
+def test_beam1_equals_greedy():
+    p = llama_init(jax.random.PRNGKey(0), CFG)
+    toks = jnp.asarray(RNG.integers(3, 200, (2, 6)))
+    lens = jnp.asarray([6, 5])
+    dp = DecodeParams(max_new_tokens=5, eos_token_id=1)
+    greedy = generate(p, CFG, toks, lens, dp, cache_len=32)
+    beam1 = generate_beam(p, CFG, toks, lens, dp, num_beams=1, cache_len=32)
+    np.testing.assert_array_equal(np.asarray(greedy.tokens),
+                                  np.asarray(beam1.tokens))
+
+
+def test_beam_score_not_worse_than_greedy():
+    """The selected beam's total log-prob must be >= the greedy rollout's."""
+    p = llama_init(jax.random.PRNGKey(1), CFG)
+    toks = jnp.asarray(RNG.integers(3, 200, (1, 5)))
+    lens = jnp.asarray([5])
+    dp = DecodeParams(max_new_tokens=4, eos_token_id=1)
+
+    def seq_logprob(gen_tokens):
+        """Score a generated continuation under the model (teacher forcing)."""
+        from radialog_tpu.models.llama import llama_apply, prefill_bias
+        full = np.concatenate([np.asarray(toks)[0], gen_tokens])
+        t = len(full)
+        logits, _ = llama_apply(p, CFG, jnp.asarray(full)[None],
+                                jnp.arange(t)[None], prefill_bias(jnp.asarray([t]), t))
+        logp = jax.nn.log_softmax(np.asarray(logits)[0, 4:t - 1], axis=-1)
+        return float(sum(logp[i, full[5 + i]] for i in range(len(gen_tokens))))
+
+    greedy = generate(p, CFG, toks, lens, dp, cache_len=32)
+    beam = generate_beam(p, CFG, toks, lens, dp, num_beams=4, cache_len=32)
+    g_len = int(greedy.lengths[0])
+    b_len = int(beam.lengths[0])
+    g_score = seq_logprob(np.asarray(greedy.tokens)[0, :g_len])
+    b_score = seq_logprob(np.asarray(beam.tokens)[0, :b_len])
+    assert b_score >= g_score - 1e-4, (b_score, g_score)
+
+
+def test_beam_eos_freezing():
+    p = llama_init(jax.random.PRNGKey(0), CFG)
+    toks = jnp.asarray(RNG.integers(3, 200, (1, 4)))
+    lens = jnp.asarray([4])
+    r0 = generate_beam(p, CFG, toks, lens,
+                       DecodeParams(max_new_tokens=4, eos_token_id=1),
+                       num_beams=2, cache_len=16)
+    first = int(np.asarray(r0.tokens)[0, 0])
+    # make the first generated token the eos: the beam must freeze
+    r1 = generate_beam(p, CFG, toks, lens,
+                       DecodeParams(max_new_tokens=4, eos_token_id=first),
+                       num_beams=2, cache_len=16)
+    got = np.asarray(r1.tokens)[0]
+    if got[0] == first:  # the eos beam won
+        assert (got[1:] == first).all()
