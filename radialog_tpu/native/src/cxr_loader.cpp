@@ -193,6 +193,7 @@ bool preprocess_file(const std::string& path, int resize, int crop, float* out) 
 
 struct Sample {
   int index = -1;                // index into the path list; -1 = failed
+  uint64_t gen = 0;              // epoch generation (stale results discarded)
   std::vector<float> img;
 };
 
@@ -226,6 +227,7 @@ class Loader {
       std::mt19937_64 rng(seed);
       std::shuffle(order_.begin(), order_.end(), rng);
     }
+    ++gen_;  // in-flight results from the previous epoch become stale
     next_task_ = 0;
     emitted_ = 0;
     while (!ready_.empty()) ready_.pop();
@@ -248,6 +250,7 @@ class Loader {
       Sample s = std::move(ready_.front());
       ready_.pop();
       cv_space_.notify_one();
+      if (s.gen != gen_) continue;  // stale (pre-reset) result
       ++emitted_;
       if (s.index < 0) continue;  // decode failure: skip
       std::memcpy(out_images + size_t(filled) * stride, s.img.data(),
@@ -263,6 +266,7 @@ class Loader {
     const size_t stride = size_t(crop_) * crop_ * 3;
     for (;;) {
       size_t task;
+      uint64_t my_gen;
       {
         std::unique_lock<std::mutex> lk(mu_);
         cv_space_.wait(lk, [this] {
@@ -272,8 +276,10 @@ class Loader {
         if (stop_) return;
         if (next_task_ >= order_.size()) continue;
         task = next_task_++;
+        my_gen = gen_;
       }
       Sample s;
+      s.gen = my_gen;
       s.index = order_[task];
       s.img.resize(stride);
       if (!preprocess_file(paths_[s.index], resize_, crop_, s.img.data()))
@@ -295,6 +301,7 @@ class Loader {
   std::mutex mu_;
   std::condition_variable cv_item_, cv_space_;
   std::queue<Sample> ready_;
+  uint64_t gen_ = 0;
   size_t next_task_ = 0;
   size_t emitted_ = 0;
   bool stop_ = false;
