@@ -49,7 +49,8 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             lengths: jax.Array, cache_len: int,
             img_embs: Optional[jax.Array] = None,
             lora: Optional[Dict] = None,
-            policy: DTypePolicy = FP32):
+            policy: DTypePolicy = FP32,
+            kv_int8: bool = False):
     """Run the prompt pass; returns (cache, last_logits).
 
     tokens: (B, T) right-padded; lengths: (B,) true lengths;
@@ -68,7 +69,8 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                                 cache=None, img_embs=img_embs,
                                 img_start=img_start, lora=lora, policy=policy,
                                 lengths=lengths)
-    cache = install_prefill(init_cache(cfg, b, cache_len), fresh)
+    cache = install_prefill(init_cache(cfg, b, cache_len, quantized=kv_int8),
+                            fresh)
     last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
     return cache, last
 
@@ -137,13 +139,17 @@ def generate(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
              lengths: jax.Array, dp: DecodeParams = DecodeParams(),
              img_embs: Optional[jax.Array] = None,
              lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
-             cache_len: Optional[int] = None) -> GenerationResult:
-    """End-to-end: prefill + decode. ``tokens`` right-padded (B, T)."""
+             cache_len: Optional[int] = None,
+             kv_int8: bool = False) -> GenerationResult:
+    """End-to-end: prefill + decode. ``tokens`` right-padded (B, T).
+    ``kv_int8`` stores the cache int8 with per-token scales (unrolled serving
+    params only) — halves cache memory + attention traffic."""
     t = tokens.shape[1]
     if cache_len is None:
         cache_len = bucket_length(t + dp.max_new_tokens)
     cache, last = prefill(params, cfg, tokens, lengths, cache_len,
-                          img_embs=img_embs, lora=lora, policy=policy)
+                          img_embs=img_embs, lora=lora, policy=policy,
+                          kv_int8=kv_int8)
     return decode_loop(params, cfg, cache, last, lengths, dp, lora=lora,
                        policy=policy, prompt_pad=t)
 

@@ -23,11 +23,19 @@ def bucket_length(n: int, buckets=(128, 256, 384, 512, 768, 1024, 1536, 2048)) -
 
 
 def install_prefill(cache: KVCache, fresh: KVCache) -> KVCache:
-    """Copy fresh prefill K/V (L,B,T,H,D) into slots [0, T) of the cache."""
-    t = fresh.k.shape[2]
+    """Copy fresh prefill K/V (L,B,T,H,D) into slots [0, T) of the cache,
+    quantizing on the way when the cache is int8."""
+    if cache.quantized:
+        from ..models.llama import quantize_kv
+        k8, ks = quantize_kv(fresh.k)
+        v8, vs = quantize_kv(fresh.v)
+        return KVCache(
+            jax.lax.dynamic_update_slice(cache.k, k8, (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.v, v8, (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.k_scale, ks, (0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.v_scale, vs, (0, 0, 0, 0)))
     k = jax.lax.dynamic_update_slice(cache.k, fresh.k.astype(cache.k.dtype),
                                      (0, 0, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(cache.v, fresh.v.astype(cache.v.dtype),
                                      (0, 0, 0, 0, 0))
-    del t
     return KVCache(k, v)

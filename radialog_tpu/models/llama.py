@@ -62,20 +62,45 @@ TINY_LLAMA = LlamaConfig(vocab_size=256, hidden_size=64, num_layers=2,
 
 
 class KVCache(NamedTuple):
-    """Per-layer pre-allocated cache. k/v: (L, B, S_max, Hkv, D) in bf16."""
+    """Per-layer pre-allocated cache. k/v: (L, B, S_max, Hkv, D).
+
+    bf16 by default; int8 with per-token-per-head scales (k_scale/v_scale
+    (L, B, S_max, Hkv) f32) in the quantized serving mode — halves the cache
+    HBM footprint (batch 24 fits one v5e next to int8 7B weights). NOTE:
+    XLA's batched int8 attention currently runs at ~150GB/s effective vs
+    ~460GB/s for bf16, so this trades throughput for capacity; a fused
+    flash-decode kernel is the path to getting both."""
 
     k: jax.Array
     v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if quantized:
+        return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.ones(shape[:-1], jnp.float32),
+                       jnp.ones(shape[:-1], jnp.float32))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(..., D) float -> (int8 (..., D), scale (...)) per-row symmetric."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return x8, scale
 
 
 # ------------------------------------------------------------------------- init
@@ -218,12 +243,30 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
         # (L,B,S,H,D) cache at a static layer index + shared slot — one small
         # in-place dynamic_update_slice. (The scan path's slice-out /
         # modify / write-back costs two 50MB copies per layer per step.)
-        ck_full, cv_full, layer_idx = direct_cache
+        full_cache, layer_idx = direct_cache
+        if full_cache.quantized:
+            k8, ks = quantize_kv(k)
+            v8, vs = quantize_kv(v)
+            new_cache = KVCache(
+                jax.lax.dynamic_update_slice(
+                    full_cache.k, k8[None], (layer_idx, 0, write_pos, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    full_cache.v, v8[None], (layer_idx, 0, write_pos, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    full_cache.k_scale, ks[None], (layer_idx, 0, write_pos, 0)),
+                jax.lax.dynamic_update_slice(
+                    full_cache.v_scale, vs[None], (layer_idx, 0, write_pos, 0)))
+            o = _attention_int8_kv(q, new_cache, layer_idx, bias, hd)
+            o = o.reshape(b, t, h)
+            return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
+                    new_cache)
         ck_full = jax.lax.dynamic_update_slice(
-            ck_full, k[None].astype(ck_full.dtype), (layer_idx, 0, write_pos, 0, 0))
+            full_cache.k, k[None].astype(full_cache.k.dtype),
+            (layer_idx, 0, write_pos, 0, 0))
         cv_full = jax.lax.dynamic_update_slice(
-            cv_full, v[None].astype(cv_full.dtype), (layer_idx, 0, write_pos, 0, 0))
-        new_cache_layer = (ck_full, cv_full)
+            full_cache.v, v[None].astype(full_cache.v.dtype),
+            (layer_idx, 0, write_pos, 0, 0))
+        new_cache_layer = KVCache(ck_full, cv_full)
         # static layer slice: fuses into the attention matmul, no copy
         k_all = ck_full[layer_idx].astype(x.dtype)
         v_all = cv_full[layer_idx].astype(x.dtype)
@@ -259,6 +302,44 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
     else:
         o = mha(q, k_all, v_all, bias=bias).reshape(b, t, h)
     return _proj(lp, lora_layer, "wo", o, lora_scale, policy), new_cache_layer
+
+
+def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
+                       bias: jax.Array, head_dim: int) -> jax.Array:
+    """Decode attention over an int8 KV cache, fully on the int8 MXU.
+
+    q: (B, T, H, D) float. scores = (q8 . k8) * q_scale * k_scale;
+    the value pass folds the per-token v_scale into the softmax weights
+    before re-quantizing them (p' = softmax * v_scale; o = (p'8 . v8) * p's).
+    Keeping both matmuls int8 avoids the VPU int8->bf16 convert wall that
+    makes naive dequantization slower than bf16.
+    """
+    b, t, nh, hd = q.shape
+    k8 = cache.k[layer_idx]                  # (B,S,H,D) int8, static slice
+    v8 = cache.v[layer_idx]
+    ks = cache.k_scale[layer_idx]            # (B,S,H)
+    vs = cache.v_scale[layer_idx]
+    qt = q.transpose(0, 2, 1, 3)             # (B,H,T,D) — small (T=1 decode)
+    q8, qs = quantize_kv(qt)                 # qs (B,H,T)
+    # keep K/V in their native (B,S,H,D) cache layout: transposing 400MB of
+    # int8 per layer per step costs more than the attention itself; dot
+    # batch dims may sit at different positions on each operand
+    scores = jax.lax.dot_general(
+        q8, k8, (((3,), (3,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.int32)    # (B,H,T,S)
+    scale = head_dim ** -0.5
+    s = (scores.astype(jnp.float32) * qs[..., None]
+         * ks.transpose(0, 2, 1)[:, :, None, :] * scale)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)           # (B,H,T,S)
+    pv = p * vs.transpose(0, 2, 1)[:, :, None, :]
+    p8, ps = quantize_kv(pv)                 # ps (B,H,T)
+    o = jax.lax.dot_general(
+        p8, v8, (((3,), (1,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.int32)    # (B,H,T,D)
+    o = o.astype(jnp.float32) * ps[..., None]
+    return o.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
 def _use_flash(cache_layer, direct_cache, lengths, t: int) -> bool:
@@ -316,18 +397,18 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         # HBM->HBM copy of every layer's weights each step (profiled at
         # ~8.5ms/step for Vicuna-7B on v5e) because custom-calls cannot
         # consume fused slices.
-        ck, cv = (cache.k, cache.v) if cache is not None else (None, None)
+        cur_cache = cache
         fresh_k, fresh_v = [], []
         for i, lp in enumerate(params["layers"]):
             ll = _index_lora(lora_layers, i)
             h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
-            direct = (ck, cv, i) if cache is not None else None
+            direct = (cur_cache, i) if cache is not None else None
             attn_out, cache_out = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
                 None, write_pos, policy, direct_cache=direct,
                 lengths=lengths)
             if cache is not None:
-                ck, cv = cache_out
+                cur_cache = cache_out
             else:
                 fresh_k.append(cache_out[0])
                 fresh_v.append(cache_out[1])
@@ -337,10 +418,14 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
         logits = linear(params["lm_head"], x, policy).astype(jnp.float32)
         if cache is not None:
-            return logits, KVCache(ck, cv)
+            return logits, cur_cache
         return logits, KVCache(jnp.stack(fresh_k), jnp.stack(fresh_v))
 
     if cache is not None:
+        if cache.quantized:
+            raise ValueError(
+                "int8 KV caches require the unrolled serving params "
+                "(quantize_llama_host layout with list-of-layers)")
         # Decode: the FULL stacked cache rides the scan CARRY so XLA aliases
         # the update in place. Returning per-layer cache slices as stacked
         # scan outputs instead forces a copy of the whole (L,B,S,H,D) cache
