@@ -1,2 +1,5 @@
-from .engine import DecodeParams, GenerationResult, generate, prefill, decode_loop
-from .kvcache import install_prefill, bucket_length
+from .engine import (DecodeParams, GenerationResult, decode_loop, generate,
+                     generate_jit, prefill)
+from .kvcache import bucket_length, install_prefill
+from .beam import beam_decode, generate_beam
+from .session import InteractiveSession
