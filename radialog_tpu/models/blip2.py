@@ -151,6 +151,53 @@ def blip2_stage1_losses(params: Dict, cfg: Blip2Config, image_embeds: jax.Array,
                         loss_itc=loss_itc, loss_itm=loss_itm, loss_lm=loss_lm)
 
 
+def blip2_generate_caption(params: Dict, cfg: Blip2Config,
+                           image_embeds: jax.Array, max_length: int = 30,
+                           min_length: int = 10,
+                           policy: DTypePolicy = FP32) -> jax.Array:
+    """Greedy caption token ids from the Q-Former LM
+    (Blip2Qformer.generate, blip2_qformer.py:401-465: [DEC] bos, SEP as eos,
+    min_length enforced by masking the eos logit).
+
+    Returns (B, max_length) int32 ids, SEP-padded after the first SEP.
+    The text side is short (<=30 tokens) and the query prefix K/V are
+    computed once — each step re-runs only the text stack over the prefix
+    cache, so a while_loop of full text passes stays cheap.
+    """
+    qcfg = cfg.qformer
+    b = image_embeds.shape[0]
+    _, query_cache = qformer_image_grounded(params["qformer"], qcfg,
+                                            image_embeds, use_cache=True,
+                                            policy=policy)
+    nq = qcfg.num_query_tokens
+    bos, eos = qcfg.bos_token_id, qcfg.sep_token_id
+
+    ids0 = jnp.full((b, max_length), qcfg.pad_token_id, jnp.int32)
+    ids0 = ids0.at[:, 0].set(bos)
+
+    def body(t, state):
+        ids, done = state
+        mask = jnp.concatenate(
+            [jnp.ones((b, nq), jnp.int32),
+             (jnp.arange(max_length) <= t)[None].astype(jnp.int32).repeat(b, 0)],
+            axis=1)
+        logits = qformer_lm(params["qformer"], qcfg, ids, mask, query_cache,
+                            policy=policy)
+        step_logits = jax.lax.dynamic_index_in_dim(logits, t, 1, keepdims=False)
+        step_logits = jnp.where(
+            (t + 1 < min_length) & (jnp.arange(logits.shape[-1]) == eos)[None],
+            -1e30, step_logits)
+        nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos, nxt)
+        ids = jax.lax.cond(t + 1 < max_length,
+                           lambda a: a.at[:, t + 1].set(nxt), lambda a: a, ids)
+        return ids, done | (nxt == eos)
+
+    ids, _ = jax.lax.fori_loop(0, max_length - 1, body,
+                               (ids0, jnp.zeros((b,), bool)))
+    return ids
+
+
 def _smoothed_ce(logits: jax.Array, targets: jax.Array, smoothing: float) -> jax.Array:
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
