@@ -118,7 +118,8 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
         bias = decode_bias_static_slot(prompt_lengths, prompt_pad, step, s_max)
         logits, cache = llama_apply(
             params, cfg, last_tok[:, None], pos, bias, cache=cache,
-            write_pos=prompt_pad + step, lora=lora, policy=policy)
+            write_pos=prompt_pad + step, lora=lora, policy=policy,
+            lengths=prompt_lengths, slot_info=(prompt_pad, step))
         key, sub = jax.random.split(key)
         nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
         nxt = jnp.where(done, dp.eos_token_id, nxt)

@@ -211,7 +211,8 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      write_pos: Optional[jax.Array],
                      policy: DTypePolicy,
                      direct_cache=None,
-                     lengths: Optional[jax.Array] = None):
+                     lengths: Optional[jax.Array] = None,
+                     slot_info=None):
     """One layer's attention. cache_layer: (B,S,H,D) k/v for this layer, or
     None at prefill (fresh K/V are returned for bulk cache install);
     direct_cache: (ck_full, cv_full, static layer idx) for the unrolled
@@ -256,7 +257,8 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                     full_cache.k_scale, ks[None], (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
                     full_cache.v_scale, vs[None], (layer_idx, 0, write_pos, 0)))
-            o = _attention_int8_kv(q, new_cache, layer_idx, bias, hd)
+            o = _attention_int8_kv(q, new_cache, layer_idx, bias, hd,
+                                   lengths=lengths, slot_info=slot_info)
             o = o.reshape(b, t, h)
             return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
                     new_cache)
@@ -305,7 +307,9 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
 
 
 def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
-                       bias: jax.Array, head_dim: int) -> jax.Array:
+                       bias: jax.Array, head_dim: int,
+                       lengths: Optional[jax.Array] = None,
+                       slot_info=None) -> jax.Array:
     """Decode attention over an int8 KV cache, fully on the int8 MXU.
 
     q: (B, T, H, D) float. scores = (q8 . k8) * q_scale * k_scale;
@@ -315,6 +319,17 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
     makes naive dequantization slower than bf16.
     """
     b, t, nh, hd = q.shape
+    if (t == 1 and slot_info is not None and lengths is not None
+            and jax.default_backend() in ("tpu", "axon")):
+        # fused Pallas flash-decode: int8 DMA + VPU dequant-in-kernel
+        from ..ops.flash_decode import flash_decode_int8
+        prompt_pad, step = slot_info
+        o = flash_decode_int8(q[:, 0], cache.k, cache.k_scale,
+                              cache.v, cache.v_scale,
+                              lengths, prompt_pad, step,
+                              layer_idx=layer_idx,
+                              scale=head_dim ** -0.5)
+        return o[:, None].astype(q.dtype)
     k8 = cache.k[layer_idx]                  # (B,S,H,D) int8, static slice
     v8 = cache.v[layer_idx]
     ks = cache.k_scale[layer_idx]            # (B,S,H)
@@ -370,8 +385,11 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 lora: Optional[Dict] = None,
                 policy: DTypePolicy = FP32,
                 remat: bool = False,
-                lengths: Optional[jax.Array] = None):
+                lengths: Optional[jax.Array] = None,
+                slot_info=None):
     """Core transformer. Returns (logits, new_cache).
+    slot_info: (prompt_pad, step) int32 scalars during static-slot decode —
+    lets the int8-KV flash-decode kernel build its own mask.
 
     tokens: (B, T); positions: (B, T) absolute positions for RoPE;
     bias: (B|1, 1, T, S) additive attention bias over the KV axis
@@ -406,7 +424,7 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             attn_out, cache_out = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
                 None, write_pos, policy, direct_cache=direct,
-                lengths=lengths)
+                lengths=lengths, slot_info=slot_info)
             if cache is not None:
                 cur_cache = cache_out
             else:
