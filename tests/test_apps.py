@@ -1,0 +1,70 @@
+"""Apps-layer tests: mock pipeline + eval harness + chat session in pytest
+(the CLIs drive these same functions; this keeps them guarded in CI)."""
+import numpy as np
+import pytest
+
+from radialog_tpu.apps.chat import ChatSession
+from radialog_tpu.apps.evaluate import EvalOptions, run_eval
+from radialog_tpu.apps.pipeline import PipelineConfig, RaDialogPipeline
+from radialog_tpu.data.datasets import MimicPaths, ReportGenData
+
+FIXTURES = "tests/fixtures"
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return RaDialogPipeline(PipelineConfig(mock=True, max_new_tokens=8))
+
+
+@pytest.fixture(scope="module")
+def records():
+    paths = MimicPaths(split_csv=f"{FIXTURES}/split.csv",
+                       sectioned_csv=f"{FIXTURES}/sectioned.csv",
+                       chexpert_csv=f"{FIXTURES}/chexpert.csv",
+                       predicted_findings_json=f"{FIXTURES}/preds.json")
+    return ReportGenData(paths, split="test", truncate=3).records()
+
+
+def test_run_eval_end_to_end(pipe, records, tmp_path):
+    opts = EvalOptions(batch_size=3, max_new_tokens=6, exp_name="t",
+                       output_dir=str(tmp_path))
+    results = run_eval(pipe, records, opts)
+    for key in ("Bleu_4", "ROUGE_L", "chexbert_macro_f1",
+                "chexbert_sample_f1", "chexbert_mean_accuracy"):
+        assert key in results and np.isfinite(results[key])
+    assert (tmp_path / "predictions_t.csv").exists()
+    assert (tmp_path / "labels_t.csv").exists()
+    assert (tmp_path / "results_t.txt").read_text().startswith("Prompt:")
+    # predictions CSV byte format: quoted single-column lines
+    first = (tmp_path / "predictions_t.csv").read_text().splitlines()[0]
+    assert first.startswith('"') and first.endswith('"')
+
+
+def test_generate_texts_beams_and_sampling(pipe):
+    prompts = ["USER: a ASSISTANT:", "USER: b longer prompt ASSISTANT:"]
+    greedy = pipe.generate_texts(prompts, max_new_tokens=5)
+    assert len(greedy) == 2 and all(g.startswith(p) for g, p in zip(greedy, prompts))
+    beam = pipe.generate_texts(prompts, max_new_tokens=5, num_beams=2)
+    assert len(beam) == 2
+    sampled = pipe.generate_texts(prompts, max_new_tokens=5, do_sample=True,
+                                  temperature=0.8)
+    assert len(sampled) == 2
+
+
+def test_label_reports_shape(pipe):
+    labels = pipe.label_reports(["lungs clear", "cardiomegaly present", "x"])
+    assert labels.shape == (3, 14)
+    vals = labels[~np.isnan(labels)]
+    assert set(np.unique(vals)).issubset({-1.0, 0.0, 1.0})
+
+
+def test_chat_session_multi_turn(pipe):
+    session = ChatSession(pipe, gen_report=True, cache_len=512)
+    # no image: free-chat turns exercise the prefix cache
+    r1 = session.ask("Hello, what can you do?")
+    assert isinstance(r1, str)
+    r2 = session.ask("Is there any pneumonia?")
+    assert isinstance(r2, str)
+    assert len(session.conv.messages) == 4
+    session.reset()
+    assert len(session.conv.messages) == 0
