@@ -91,6 +91,36 @@ class Stage1Runner:
                                  "loss": val_loss, "best": improved})
         return self.state
 
+    def train_iters(self, batches: Iterable[Dict],
+                    iters_per_inner_epoch: int,
+                    max_iters: int,
+                    val_batches: Optional[Callable[[], Iterable[Dict]]] = None,
+                    eval_fn: Optional[Callable] = None) -> TrainState:
+        """Iteration-based variant (the reference's RunnerIter,
+        runners/runner_iter.py:70-136): inner 'epochs' of N iterations over a
+        continuous batch stream, validating + checkpointing per inner epoch."""
+        cfg = self.cfg
+        meter = MetricLogger()
+        it = iter(batches)
+        done = 0
+        while done < max_iters:
+            n = min(iters_per_inner_epoch, max_iters - done)
+            for _ in meter.log_every(range(n), cfg.log_freq,
+                                     header=f"iters {done}"):
+                batch = next(it)
+                self.rng, sk = jax.random.split(self.rng)
+                self.state, metrics = self.step_fn(self.state, batch, sk)
+                meter.update(**{k: float(v) for k, v in metrics.items()})
+            done += n
+            self.logger.log({"split": "train", "iters": done,
+                             **meter.global_avgs()})
+            if val_batches is not None and eval_fn is not None:
+                val_loss = self.validate(val_batches, eval_fn)
+                improved = self.keeper.update(done, val_loss, self.state.params)
+                self.logger.log({"split": "val", "iters": done,
+                                 "loss": val_loss, "best": improved})
+        return self.state
+
     def validate(self, val_batches: Callable[[], Iterable[Dict]],
                  eval_fn: Callable) -> float:
         losses = []
