@@ -11,9 +11,16 @@ functional, static-shape, TPU-first decoder:
     projected Q-Former embeddings with a vmapped dynamic_update_slice —
     replacing the per-row python split loop (split_at_img,
     modeling_llama_imgemb.py:498-520, the #1 pattern NOT to replicate).
-  * Pre-allocated KV cache (B, S_max, H, D) per layer, written by scatter at
-    per-sequence write offsets; decode attends the full cache under a
-    validity mask. Static shapes end to end -> one compile per bucket.
+  * Pre-allocated KV cache (L, B, S_max, H, D); decode writes every
+    sequence's K/V at a shared STATIC slot (prompt_pad + step) with one
+    contiguous in-place dynamic_update_slice, while RoPE positions and
+    attention masks stay per-sequence (decode_bias_static_slot) — a
+    per-sequence scatter forces XLA to copy the full cache every step.
+    Static shapes end to end -> one compile per bucket.
+  * Two layer layouts: STACKED (leaves carry a leading num_layers axis,
+    lax.scan forward — O(1) compile depth, used for training) and UNROLLED
+    (list of per-layer dicts from ops/quant.quantize_llama_host — per-layer
+    weight buffers feed the Pallas serving kernels with zero copies).
   * LoRA (r=8, alpha=16 on q_proj/v_proj per finetune.py:309-318) applied as
     y = Wx + (alpha/r) * B(Ax), with the trainable img_proj_layer (768->4096,
     finetune.py:254,321-323) stored alongside the adapters.
