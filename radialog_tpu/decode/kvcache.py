@@ -29,9 +29,13 @@ def install_prefill(cache: KVCache, fresh: KVCache) -> KVCache:
         from ..models.llama import quantize_kv
         k8, ks = quantize_kv(fresh.k)
         v8, vs = quantize_kv(fresh.v)
+        # token-flat int8 layout: (L,B,T,H,D) -> (L,B,T,H*D)
+        l, b, t = k8.shape[:3]
+        k8 = k8.reshape(l, b, t, -1)
+        v8 = v8.reshape(l, b, t, -1)
         return KVCache(
-            jax.lax.dynamic_update_slice(cache.k, k8, (0, 0, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(cache.v, v8, (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.k, k8, (0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.v, v8, (0, 0, 0, 0)),
             jax.lax.dynamic_update_slice(cache.k_scale, ks, (0, 0, 0, 0)),
             jax.lax.dynamic_update_slice(cache.v_scale, vs, (0, 0, 0, 0)))
     k = jax.lax.dynamic_update_slice(cache.k, fresh.k.astype(cache.k.dtype),

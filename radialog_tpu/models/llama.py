@@ -71,12 +71,12 @@ TINY_LLAMA = LlamaConfig(vocab_size=256, hidden_size=64, num_layers=2,
 class KVCache(NamedTuple):
     """Per-layer pre-allocated cache. k/v: (L, B, S_max, Hkv, D).
 
-    bf16 by default; int8 with per-token-per-head scales (k_scale/v_scale
-    (L, B, S_max, Hkv) f32) in the quantized serving mode — halves the cache
-    HBM footprint (batch 24 fits one v5e next to int8 7B weights). NOTE:
-    XLA's batched int8 attention currently runs at ~150GB/s effective vs
-    ~460GB/s for bf16, so this trades throughput for capacity; a fused
-    flash-decode kernel is the path to getting both."""
+    bf16 by default; int8 in the quantized serving mode, stored TOKEN-FLAT
+    as (L, B, S_max, Hkv*D) with per-token-per-head scales (k_scale/v_scale
+    (L, B, S_max, Hkv) f32) — halves the cache HBM footprint (batch 24 fits
+    one v5e next to int8 7B weights). The flat layout is what lets the
+    Pallas flash-decode kernel (ops/flash_decode.py) feed each (bs, H*D)
+    cache block to the MXU as one block-diagonal-q matmul with no relayout."""
 
     k: jax.Array
     v: jax.Array
@@ -96,7 +96,8 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if quantized:
-        return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+        flat = shape[:3] + (cfg.num_kv_heads * cfg.head_dim,)
+        return KVCache(jnp.zeros(flat, jnp.int8), jnp.zeros(flat, jnp.int8),
                        jnp.ones(shape[:-1], jnp.float32),
                        jnp.ones(shape[:-1], jnp.float32))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
@@ -255,11 +256,14 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
         if full_cache.quantized:
             k8, ks = quantize_kv(k)
             v8, vs = quantize_kv(v)
+            # token-flat int8 layout: (B, T, H, D) -> (B, T, H*D)
+            k8 = k8.reshape(b, t, nkv * hd)
+            v8 = v8.reshape(b, t, nkv * hd)
             new_cache = KVCache(
                 jax.lax.dynamic_update_slice(
-                    full_cache.k, k8[None], (layer_idx, 0, write_pos, 0, 0)),
+                    full_cache.k, k8[None], (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
-                    full_cache.v, v8[None], (layer_idx, 0, write_pos, 0, 0)),
+                    full_cache.v, v8[None], (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
                     full_cache.k_scale, ks[None], (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
@@ -328,7 +332,7 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
     b, t, nh, hd = q.shape
     if (t == 1 and slot_info is not None and lengths is not None
             and jax.default_backend() in ("tpu", "axon")):
-        # fused Pallas flash-decode: int8 DMA + VPU dequant-in-kernel
+        # fused Pallas flash-decode: int8 DMA + block-diagonal-q MXU matmuls
         from ..ops.flash_decode import flash_decode_int8
         prompt_pad, step = slot_info
         o = flash_decode_int8(q[:, 0], cache.k, cache.k_scale,
@@ -337,8 +341,10 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
                               layer_idx=layer_idx,
                               scale=head_dim ** -0.5)
         return o[:, None].astype(q.dtype)
-    k8 = cache.k[layer_idx]                  # (B,S,H,D) int8, static slice
-    v8 = cache.v[layer_idx]
+    s_max = cache.k.shape[2]
+    # token-flat (B,S,H*D) -> (B,S,H,D); free on the CPU/fallback path
+    k8 = cache.k[layer_idx].reshape(b, s_max, nh, hd)
+    v8 = cache.v[layer_idx].reshape(b, s_max, nh, hd)
     ks = cache.k_scale[layer_idx]            # (B,S,H)
     vs = cache.v_scale[layer_idx]
     qt = q.transpose(0, 2, 1, 3)             # (B,H,T,D) — small (T=1 decode)

@@ -1,21 +1,35 @@
 """Pallas TPU flash-decode over an int8 KV cache (single-token attention).
 
-This kernel streams the int8 K/V slabs of the FULL stacked cache in their
-native (L, B, S, H, D) layout (contiguous per-(b, s-block) DMAs at a static
-layer offset), dequantizes + reduces on the VPU, and applies the
-online-softmax update per KV block.
+MXU design (the "block-diagonal q" trick). Per-head decode attention is a
+batch of matvecs — per-head MXU matmuls are latency-bound (measured
+~180GB/s) and a VPU dequant/multiply/reduce is vector-throughput-bound
+(measured ~270GB/s). Instead, the cache stores K/V FLAT per token
+((L, B, S, H*D) int8, per-token-per-head scales (L, B, S, H)) so each
+(bs, H*D) block feeds the MXU with no relayout:
 
-Measured status (v5e, B=24, S=512): ~270GB/s — faster than XLA's batched
-int8 attention (~150GB/s) but below XLA's bf16 attention (~460GB/s), because
-the per-element int8 dequant/multiply/reduce is VPU-throughput-bound. int8
-KV is therefore a CAPACITY feature today (half the cache memory -> batch
-24-32 beside the int8 weights on one 16GB chip); matching bf16 bandwidth
-needs the D-reduction on the int8 MXU (block-diagonal q trick) — future
-work. The bf16-KV batch-12 path remains the serving default.
+  * scores: one int8 x int8 -> int32 MXU matmul
+        (bs, H*D) @ block_diag(q8)  -> (bs, H)
+    where block_diag(q8) is (H*D, H) with head h's 128 q values on block
+    row h — built in XLA per decode step (131KB/seq, DMA'd once per
+    sequence). The per-token k scale, per-head q scale and 1/sqrt(D) fold
+    in AFTER the matmul on the tiny (bs, H) result, so the VPU never
+    touches a K element.
+  * values: per-token v scales fold into the softmax weights
+    (pv = p * v_scale, a (bs, H) op), V converts int8->bf16 (the only
+    per-element VPU op left, 1 op/elem), then one bf16 MXU matmul
+        pv^T (H, bs) @ (bs, H*D) -> (H, H*D)
+    whose block diagonal (a masked sublane reduction) is the per-head
+    output, accumulated flat as (1, H*D) under the online-softmax rescale.
+  * head->lane broadcasts ((1, H) -> (1, H*D) for the softmax rescale and
+    the final 1/l) go through one more tiny MXU matmul against the 0/1
+    head-expansion mask E (h, H*D), E[c, j] = (j // D == c) — Mosaic has
+    no (1, H) -> (1, H*D) repeat, and MXU cycles are free here.
 
-Masking matches decode_bias_static_slot (models/llama.py): kv slot j is
-valid iff j < length_b (prefill region) or prompt_pad <= j <= prompt_pad+step
-(generated region). lengths/prompt_pad/step arrive via scalar prefetch.
+The 32x MXU "waste" on the off-diagonal zeros is free: the kernel is HBM
+bound and the MXU was idle. Masking matches decode_bias_static_slot
+(models/llama.py): kv slot j is valid iff j < length_b (prefill region) or
+prompt_pad <= j <= prompt_pad + step (generated region). lengths /
+prompt_pad / step arrive via scalar prefetch.
 """
 from __future__ import annotations
 
@@ -30,11 +44,13 @@ NEG_INF = -1e30
 
 
 def _kernel(lens_ref,                       # scalar prefetch: (B+2,) int32
-            q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
+            qbd_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
             o_ref,
             m_ref, l_ref, acc_ref,
             *, bs: int, heads: int, head_dim: int, scale: float):
     s_i = pl.program_id(1)
+    h, d = heads, head_dim
+    hd = h * d
 
     @pl.when(s_i == 0)
     def _init():
@@ -47,43 +63,54 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+2,) int32
     prompt_pad = lens_ref[pl.num_programs(0)]
     step = lens_ref[pl.num_programs(0) + 1]
 
-    # k8/v8 block: (1, bs, H, D) int8 -> (bs, H*D) view per head via slices
-    q8 = q8_ref[0]                           # (H, D) int8
-    qs = qs_ref[0]                           # (H, 1) f32
-
-    # 2D iota (TPU requires >=2D); valid mask directly in (bs, H) shape
-    s_pos = s_i * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, heads), 0)
+    s_pos = s_i * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, h), 0)
     valid = (s_pos < length) | ((s_pos >= prompt_pad)
                                 & (s_pos <= prompt_pad + step))
 
-    m_prev = m_ref[:]                        # (1, H)
-    # VPU path: per-head M=1 MXU matmuls are latency-bound (measured
-    # ~180GB/s); elementwise multiply + lane reduction keeps the VPU busy at
-    # the DMA rate instead.
-    kf = k8_ref[0, 0].astype(jnp.float32)    # (bs, H, D)
-    qf = q8.astype(jnp.float32) * qs         # (H, D) dequantized q
-    scores = jnp.sum(qf[None] * kf, axis=-1)             # (bs, H)
-    scores = scores * ks_ref[0, 0] * scale               # x k scales (bs, H)
+    # ---- scores on the int8 MXU: (bs, H*D) @ (H*D, H) -> (bs, H) int32
+    k2d = k8_ref[0, 0]                        # (bs, H*D) int8
+    scores = jax.lax.dot_general(
+        k2d, qbd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    scores = scores * ks_ref[0, 0] * qs_ref[0] * scale     # (bs, H)
     scores = jnp.where(valid, scores, NEG_INF)
 
-    m_cur = jnp.max(scores, axis=0, keepdims=True)       # (1, H)
+    m_prev = m_ref[:]                         # (1, H)
+    m_cur = jnp.max(scores, axis=0, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)                          # (bs, H)
+    alpha = jnp.exp(m_prev - m_new)           # (1, H)
+    p = jnp.exp(scores - m_new)               # (bs, H)
     p = jnp.where(valid, p, 0.0)
     l_ref[:] = l_ref[:] * alpha + p.sum(axis=0, keepdims=True)
     m_ref[:] = m_new
 
-    vf = v8_ref[0, 0].astype(jnp.float32)    # (bs, H, D)
-    pv = p * vs_ref[0, 0]                    # (bs, H) with v scales folded
-    block_o = jnp.sum(pv[:, :, None] * vf, axis=0)       # (H, D)
-    acc_ref[:] = acc_ref[:] * alpha.T  # (1,H)->(H,1) broadcast
-    acc_ref[:] += block_o
+    # head-expansion mask E (h, hd): E[c, j] = (j // d == c)
+    e_row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+    e_col_h = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
+    e_mask = e_row == e_col_h
+
+    # ---- values on the bf16 MXU: pv^T @ V2d -> (H, H*D), keep block diag
+    pv = (p * vs_ref[0, 0]).astype(jnp.bfloat16)           # v scales folded
+    vbf = v8_ref[0, 0].astype(jnp.bfloat16)   # (bs, H*D) — the one VPU pass
+    mat = jax.lax.dot_general(
+        pv, vbf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)   # (H, H*D)
+    block_o = jnp.sum(jnp.where(e_mask, mat, 0.0),
+                      axis=0, keepdims=True)  # (1, H*D) flat per-head output
+    # (1, H) -> (1, H*D) lane broadcast via MXU: alpha @ E
+    alpha_exp = jax.lax.dot_general(
+        alpha.astype(jnp.bfloat16), e_mask.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha_exp + block_o
 
     @pl.when(s_i == pl.num_programs(1) - 1)
     def _finish():
-        l = l_ref[:]                          # (1, H)
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l.T, 1e-30)).astype(o_ref.dtype)
+        # broadcast 1/l to lanes through the same E matmul (f32 for accuracy)
+        inv_l = 1.0 / jnp.maximum(l_ref[:], 1e-30)          # (1, H)
+        inv_exp = jax.lax.dot_general(
+            inv_l, e_mask.astype(jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[0] = (acc_ref[:] * inv_exp).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("layer_idx", "scale", "bs",
@@ -92,26 +119,34 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                       v8: jax.Array, vs: jax.Array, lengths: jax.Array,
                       prompt_pad, step, layer_idx: int = 0,
                       scale: float | None = None,
-                      bs: int = 128, interpret: bool = False) -> jax.Array:
+                      bs: int = 256, interpret: bool = False) -> jax.Array:
     """Single-token attention over one layer of a FULL stacked int8 cache.
 
-    q: (B, H, D) float; k8/v8: (L, B, S, H, D) int8; ks/vs: (L, B, S, H) f32;
-    lengths: (B,) int32; prompt_pad/step: int32 scalars (static-slot mask);
-    layer_idx: STATIC layer index, baked into the BlockSpec index maps — the
-    kernel DMAs blocks straight out of the stacked cache. (Slicing the layer
-    in XLA first would materialize a 100MB copy per operand per step, since
-    custom calls cannot consume fused slices.)
-    Returns (B, H, D) in q.dtype.
+    q: (B, H, D) float; k8/v8: (L, B, S, H*D) int8 (token-flat layout);
+    ks/vs: (L, B, S, H) f32; lengths: (B,) int32; prompt_pad/step: int32
+    scalars (static-slot mask); layer_idx: STATIC layer index, baked into
+    the BlockSpec index maps — the kernel DMAs blocks straight out of the
+    stacked cache. (Slicing the layer in XLA first would materialize a
+    100MB copy per operand per step, since custom calls cannot consume
+    fused slices.)  Returns (B, H, D) in q.dtype.
     """
     b, h, d = q.shape
+    hd = h * d
     s_len = k8.shape[2]
+    assert k8.shape[-1] == hd, (k8.shape, h, d)
     scale = float(scale if scale is not None else d ** -0.5)
-    assert s_len % bs == 0, (s_len, bs)
+    bs = min(bs, s_len)
+    while s_len % bs:       # buckets are multiples of 128 (e.g. 384 -> 128)
+        bs //= 2
+    assert bs >= 1 and s_len % bs == 0, (s_len, bs)
     li = layer_idx
 
+    # per-head symmetric int8 quantization of q + block-diagonal layout
     qf = q.astype(jnp.float32)
     qscale = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1), 1e-8) / 127.0  # (B,H)
     q8 = jnp.clip(jnp.round(qf / qscale[..., None]), -127, 127).astype(jnp.int8)
+    eye = (jnp.arange(hd)[:, None] // d) == jnp.arange(h)[None, :]
+    qbd = jnp.where(eye[None], q8.reshape(b, hd, 1), jnp.int8(0))  # (B,hd,h)
 
     scalars = jnp.concatenate([
         lengths.astype(jnp.int32),
@@ -127,29 +162,31 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, h, d), lambda bi, si, sc: (bi, 0, 0)),
-                pl.BlockSpec((1, h, 1), lambda bi, si, sc: (bi, 0, 0)),
-                pl.BlockSpec((1, 1, bs, h, d),
-                             lambda bi, si, sc: (li, bi, si, 0, 0)),
+                # qbd/qs index maps ignore s_i -> DMA'd once per sequence
+                pl.BlockSpec((1, hd, h), lambda bi, si, sc: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, h), lambda bi, si, sc: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, bs, hd),
+                             lambda bi, si, sc: (li, bi, si, 0)),
                 pl.BlockSpec((1, 1, bs, h), lambda bi, si, sc: (li, bi, si, 0)),
-                pl.BlockSpec((1, 1, bs, h, d),
-                             lambda bi, si, sc: (li, bi, si, 0, 0)),
+                pl.BlockSpec((1, 1, bs, hd),
+                             lambda bi, si, sc: (li, bi, si, 0)),
                 pl.BlockSpec((1, 1, bs, h), lambda bi, si, sc: (li, bi, si, 0)),
             ],
-            out_specs=pl.BlockSpec((1, h, d), lambda bi, si, sc: (bi, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, hd),
+                                   lambda bi, si, sc: (bi, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((1, h), jnp.float32),
                 pltpu.VMEM((1, h), jnp.float32),
-                pltpu.VMEM((h, d), jnp.float32),
+                pltpu.VMEM((1, hd), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_len * d,
-            bytes_accessed=2 * b * s_len * h * d,
+            bytes_accessed=2 * b * s_len * hd,
             transcendentals=b * h * s_len),
         interpret=interpret,
-    )(scalars, q8, qscale[..., None], k8, ks, v8, vs)
-    return out
+    )(scalars, qbd, qscale[:, None, :], k8, ks, v8, vs)
+    return out.reshape(b, h, d)

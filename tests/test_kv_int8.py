@@ -48,3 +48,40 @@ def test_int8_kv_rejects_scan_params():
         generate(params, CFG, toks, jnp.asarray([6]),
                  DecodeParams(max_new_tokens=2, eos_token_id=1),
                  cache_len=16, kv_int8=True)
+
+
+def test_flash_decode_int8_kernel_interpret_matches_reference():
+    """Pallas MXU flash-decode (interpret mode) vs a dense masked reference
+    over the same int8 cache contents + static-slot mask."""
+    from radialog_tpu.ops.flash_decode import flash_decode_int8
+
+    L, B, S, H, D = 2, 3, 16, 4, 8
+    bs = 8
+    rng = np.random.default_rng(7)
+    kf = rng.normal(size=(L, B, S, H, D)).astype(np.float32)
+    vf = rng.normal(size=(L, B, S, H, D)).astype(np.float32)
+    k8, ks = quantize_kv(jnp.asarray(kf))
+    v8, vs = quantize_kv(jnp.asarray(vf))
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    lengths = jnp.asarray([5, 16, 9], jnp.int32)
+    prompt_pad, step, li = 12, 2, 1
+
+    got = flash_decode_int8(
+        q, k8.reshape(L, B, S, H * D), ks, v8.reshape(L, B, S, H * D), vs,
+        lengths, prompt_pad, step, layer_idx=li, bs=bs, interpret=True)
+
+    # reference: dequantized (incl. the kernel's q-quantization) dense attn
+    qs = np.maximum(np.abs(np.asarray(q)).max(-1), 1e-8) / 127.0
+    q8 = np.clip(np.round(np.asarray(q) / qs[..., None]), -127, 127)
+    qd = q8 * qs[..., None]
+    kd = np.asarray(k8, np.float32)[li] * np.asarray(ks)[li][..., None]
+    vd = np.asarray(v8, np.float32)[li] * np.asarray(vs)[li][..., None]
+    scores = np.einsum("bhd,bshd->bhs", qd, kd) * D ** -0.5
+    pos = np.arange(S)
+    valid = (pos[None] < np.asarray(lengths)[:, None]) | (
+        (pos >= prompt_pad) & (pos <= prompt_pad + step))[None]
+    scores = np.where(valid[:, None, :], scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhs,bshd->bhd", p, vd)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0.05, atol=0.02)
