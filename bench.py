@@ -5,8 +5,9 @@ TPU chip (BASELINE.json north star: reports/sec/chip).
 Pipeline measured (the test.py eval path of the reference, full model sizes):
   448x448 image -> BioViL-T (ResNet-50 + projector, J=1408)
                -> Q-Former (BERT-base + cross-attn, 32 queries)
-               -> <IMG>-spliced Vicuna-7B (bf16) prefill
-               -> greedy KV-cache decode, 300 new tokens (test.py:344)
+               -> <IMG>-spliced Vicuna-7B (int8 weights) prefill
+               -> greedy decode over the int8 MXU flash-decode KV cache,
+                  300 new tokens (test.py:344)
 
 vs_baseline is measured against the reference configuration's estimated GPU
 throughput: HF greedy generate, fp16 Vicuna-7B, batch 12, max_new_tokens 300
@@ -25,12 +26,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 REFERENCE_REPORTS_PER_SEC = 0.40   # documented estimate, see module docstring
 MAX_NEW_TOKENS = 300               # test.py:344
 PROMPT_LEN = 128                   # system + findings + instruction, typical
-BATCH = 12                         # the reference eval batch (test.py:279);
-# fits on one 16GB v5e because the serving path stores the 7B weights as
-# pre-tiled int8 (ops/q8_matmul.py W8A8 Pallas kernel): ~6.9GB weights +
-# 6.4GB bf16 KV cache. Weight VALUES here are synthetic (randomly init'd /
-# constant tiles) — the metric measures the serving engine's throughput at
-# the real model shapes, matching how the bf16 baseline was measured.
+BATCH = 24                         # 2x the reference eval batch (test.py:279):
+# the serving path stores the 7B weights as pre-tiled int8 (ops/q8_matmul.py
+# W8A8 Pallas kernel, ~6.9GB) AND the KV cache as token-flat int8 with
+# per-token scales (ops/flash_decode.py MXU kernel, ~3.2GB at batch 24) —
+# both fit one 16GB v5e with headroom. Measured batch sweep on v5e (cache
+# 448): b12 2.87, b16 3.62, b20 4.22, b24 4.85 reports/s; b>24 crosses the
+# HBM capacity cliff (XLA loses in-place cache aliasing and step time 3x).
+# Weight VALUES here are synthetic (randomly init'd / constant tiles) — the
+# metric measures the serving engine's throughput at the real model shapes,
+# matching how the bf16 baseline was measured.
 
 
 def main() -> None:
@@ -104,7 +109,8 @@ def main() -> None:
     lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
     dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1)  # full-length
 
-    cache_len = 512  # >= PROMPT_LEN + MAX_NEW_TOKENS, bucketed
+    cache_len = 448  # >= PROMPT_LEN + MAX_NEW_TOKENS; tight (512 would waste
+    # 0.5GB of int8 cache and cross the batch-24 HBM capacity cliff)
 
     @jax.jit
     def report_step(vis_params, vis_state, qf_params, params, lora, images,
@@ -114,7 +120,8 @@ def main() -> None:
         patch = layernorm(qf_params["ln_vision"], patch)
         embs = blip2_forward_image(qf_params, bcfg, patch, policy=BF16)
         return generate(params, cfg, tokens, lengths, dp, img_embs=embs,
-                        lora=lora, policy=BF16, cache_len=cache_len)
+                        lora=lora, policy=BF16, cache_len=cache_len,
+                        kv_int8=True)
 
     # warmup / compile
     res = report_step(vis_params, vis_state, qf_params, params, lora, images,
@@ -134,7 +141,8 @@ def main() -> None:
         "metric": "reports_per_sec_per_chip",
         "value": round(reports_per_sec, 4),
         "unit": ("reports/s (image->300-token report e2e, Vicuna-7B shapes, "
-                 "int8 W8A8 Pallas serving, batch 12)"),
+                 "int8 W8A8 + int8-KV MXU flash-decode Pallas serving, "
+                 "batch 24)"),
         "vs_baseline": round(reports_per_sec / REFERENCE_REPORTS_PER_SEC, 3),
     }))
 

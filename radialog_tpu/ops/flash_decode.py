@@ -26,7 +26,14 @@ batch of matvecs — per-head MXU matmuls are latency-bound (measured
     no (1, H) -> (1, H*D) repeat, and MXU cycles are free here.
 
 The 32x MXU "waste" on the off-diagonal zeros is free: the kernel is HBM
-bound and the MXU was idle. Masking matches decode_bias_static_slot
+bound and the MXU was idle. Measured e2e on one v5e (full serving path,
+300-token reports): int8 KV batch 12 = 2.87 reports/s vs 2.74 for the
+bf16-KV XLA-attention path at the same batch, and the halved cache opens
+batch 24 (cache_len 448) = 4.85 reports/s. Beyond ~11GB live HBM the
+decode falls off a cliff (XLA stops aliasing the cache updates in place,
+~3x step time) — keep batch*cache_len under it.
+
+Masking matches decode_bias_static_slot
 (models/llama.py): kv slot j is valid iff j < length_b (prefill region) or
 prompt_pad <= j <= prompt_pad + step (generated region). lengths /
 prompt_pad / step arrive via scalar prefetch.
