@@ -49,8 +49,18 @@ class PipelineConfig:
     mock: bool = False                       # tiny seeded models, no weights
     bf16: bool = True
     quantize: bool = False                   # int8 W8A8 serving (ops/quant.py)
+    kv_int8: Optional[bool] = None           # int8 token-flat KV cache + MXU
+    # flash-decode (ops/flash_decode.py). None -> follow `quantize` on TPU
+    # backends (it needs the unrolled serving params and the Pallas kernel);
+    # explicit False keeps the bf16 cache.
     max_new_tokens: int = 300                # test.py:344
     seed: int = 42
+
+    def use_kv_int8(self) -> bool:
+        import jax as _jax
+        if self.kv_int8 is not None:
+            return self.kv_int8 and self.quantize
+        return self.quantize and _jax.default_backend() in ("tpu", "axon")
 
 
 class RaDialogPipeline:
@@ -75,6 +85,12 @@ class RaDialogPipeline:
                 num_img_tokens=self.llama_cfg.num_img_tokens,
                 img_token_id=self.llama_cfg.img_token_id)
             self.llama = llama_init(kl, self.llama_cfg, dtype=dtype)
+            if cfg.quantize:
+                # honor the serving layout in mock mode too (int8 KV and the
+                # unrolled-layer kernels require quantize_llama_host params)
+                from ..ops.quant import quantize_llama_host
+                self.llama = quantize_llama_host(
+                    jax.tree_util.tree_map(np.asarray, self.llama))
             self.lora = lora_init(kl, self.llama_cfg, dtype=dtype)
         else:
             if cfg.vicuna_path is None:
@@ -227,7 +243,8 @@ class RaDialogPipeline:
             cache, last = prefill(self.llama, self.llama_cfg,
                                   jnp.asarray(tokens), jnp.asarray(lengths),
                                   cache_len, img_embs=img_embs,
-                                  lora=self.lora, policy=self.policy)
+                                  lora=self.lora, policy=self.policy,
+                                  kv_int8=self.cfg.use_kv_int8())
             res = decode_loop(self.llama, self.llama_cfg, cache, last,
                               jnp.asarray(lengths), dp, lora=self.lora,
                               policy=self.policy, prompt_pad=tokens.shape[1])

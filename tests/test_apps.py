@@ -68,3 +68,16 @@ def test_chat_session_multi_turn(pipe):
     assert len(session.conv.messages) == 4
     session.reset()
     assert len(session.conv.messages) == 0
+
+
+def test_pipeline_kv_int8_serving():
+    """quantize + explicit kv_int8 drives the token-flat int8 cache path
+    end to end through the apps layer (XLA fallback on CPU)."""
+    pipe = RaDialogPipeline(PipelineConfig(mock=True, max_new_tokens=4,
+                                           quantize=True, kv_int8=True))
+    assert pipe.cfg.use_kv_int8()
+    out = pipe.generate_texts(["USER: hi ASSISTANT:"])
+    assert len(out) == 1 and out[0].startswith("USER: hi")
+    # default: kv_int8 follows quantize only on TPU backends
+    assert not PipelineConfig(mock=True, quantize=True).use_kv_int8()
+    assert not PipelineConfig(mock=True, kv_int8=True).use_kv_int8()  # no quantize
