@@ -59,7 +59,11 @@ class PipelineConfig:
     def use_kv_int8(self) -> bool:
         import jax as _jax
         if self.kv_int8 is not None:
-            return self.kv_int8 and self.quantize
+            if self.kv_int8 and not self.quantize:
+                raise ValueError(
+                    "kv_int8=True requires quantize=True: the int8 KV cache "
+                    "runs on the unrolled quantize_llama_host serving params")
+            return self.kv_int8
         return self.quantize and _jax.default_backend() in ("tpu", "axon")
 
 
@@ -166,8 +170,14 @@ class RaDialogPipeline:
         return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
 
     def _load_lora(self, path: str, dtype) -> Dict:
+        import json
         from ..utils.hf_weights import convert_peft_lora
-        lora = convert_peft_lora(_torch_load(path), self.llama_cfg.num_layers)
+        acfg = None
+        cfg_path = Path(path).parent / "adapter_config.json"
+        if cfg_path.exists():
+            acfg = json.loads(cfg_path.read_text())
+        lora = convert_peft_lora(_torch_load(path), self.llama_cfg.num_layers,
+                                 adapter_config=acfg)
         return jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x), dtype), lora)
 
     def _load_blip2(self, path: str) -> Tuple[Dict, Dict]:

@@ -12,7 +12,8 @@ Differences by design (TPU-first):
     torch.multinomial, blip2_qformer.py:314-330);
   * the optional cross-device global-batch contrastive variant (the
     commented-out path at blip2_qformer.py:134-280) is provided via
-    ``axis_name`` + jax.lax.all_gather in train/stage1.py.
+    ``axis_name`` + jax.lax.all_gather in train/steps.py (stage-1 step) /
+    train/runner.py (Stage1Runner).
 """
 from __future__ import annotations
 

@@ -104,9 +104,11 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+2,) int32
         preferred_element_type=jnp.float32)   # (H, H*D)
     block_o = jnp.sum(jnp.where(e_mask, mat, 0.0),
                       axis=0, keepdims=True)  # (1, H*D) flat per-head output
-    # (1, H) -> (1, H*D) lane broadcast via MXU: alpha @ E
+    # (1, H) -> (1, H*D) lane broadcast via MXU: alpha @ E. f32, like the
+    # _finish inv_l path — the denominator l is rescaled with f32 alpha, so
+    # a bf16 numerator rescale would drift ~0.4% relative per KV block.
     alpha_exp = jax.lax.dot_general(
-        alpha.astype(jnp.bfloat16), e_mask.astype(jnp.bfloat16),
+        alpha, e_mask.astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha_exp + block_o
 

@@ -92,14 +92,24 @@ _PEFT_RE = re.compile(
     r"lora_(A|B)(?:\.\w+)?\.weight")
 
 
-def convert_peft_lora(sd: Dict, num_layers: int, rank: int = 8,
-                      alpha: float = 16.0) -> Dict:
+def convert_peft_lora(sd: Dict, num_layers: int, rank: int | None = None,
+                      alpha: float | None = None,
+                      adapter_config: Dict | None = None) -> Dict:
     """PEFT adapter_model.bin -> lora_init tree.
 
     Handles the reference's save format (finetune.py:86-150): lora_A/lora_B
     per target projection plus the img_proj_layer spliced into the adapter
     dict under base_model.model.model.img_proj_layer.*.
+
+    rank/alpha resolve in order: explicit args > adapter_config
+    ({"r": ..., "lora_alpha": ...}, the adapter_config.json next to the
+    weights) > reference defaults r=8, alpha=16 (finetune.py:311-318). The
+    rank is always cross-checked against the loaded lora_A shapes — a
+    mismatched scale (alpha/r) silently degrades generations.
     """
+    if adapter_config:
+        rank = rank if rank is not None else adapter_config.get("r")
+        alpha = alpha if alpha is not None else adapter_config.get("lora_alpha")
     per_target: Dict[str, Dict[str, List]] = {}
     for key, val in sd.items():
         m = _PEFT_RE.match(key)
@@ -114,6 +124,19 @@ def convert_peft_lora(sd: Dict, num_layers: int, rank: int = 8,
         if any(x is None for x in ab["a"] + ab["b"]):
             raise ValueError(f"missing LoRA layers for target {target}")
         layers[target] = {"a": np.stack(ab["a"]), "b": np.stack(ab["b"])}
+
+    loaded_ranks = {t: ab["a"].shape[-1] for t, ab in layers.items()}
+    if layers:
+        if len(set(loaded_ranks.values())) != 1:
+            raise ValueError(f"inconsistent LoRA ranks across targets: {loaded_ranks}")
+        loaded_rank = next(iter(loaded_ranks.values()))
+        if rank is not None and rank != loaded_rank:
+            raise ValueError(
+                f"adapter rank mismatch: config says r={rank} but lora_A "
+                f"shapes give r={loaded_ranks}")
+        rank = loaded_rank
+    rank = rank if rank is not None else 8
+    alpha = alpha if alpha is not None else 16.0
 
     lora: Dict = {"layers": layers, "scale": np.asarray(alpha / rank, np.float32)}
     for prefix in ("base_model.model.model.img_proj_layer",

@@ -80,4 +80,8 @@ def test_pipeline_kv_int8_serving():
     assert len(out) == 1 and out[0].startswith("USER: hi")
     # default: kv_int8 follows quantize only on TPU backends
     assert not PipelineConfig(mock=True, quantize=True).use_kv_int8()
-    assert not PipelineConfig(mock=True, kv_int8=True).use_kv_int8()  # no quantize
+    # explicit kv_int8 without quantize is a config error, not a silent
+    # downgrade (int8 KV needs the unrolled quantize_llama_host params)
+    import pytest
+    with pytest.raises(ValueError, match="kv_int8"):
+        PipelineConfig(mock=True, kv_int8=True).use_kv_int8()

@@ -150,3 +150,31 @@ def test_qformer_converter_drives_forward():
     hidden, _ = qformer_image_grounded(params, cfg, embs)
     assert hidden.shape == (2, 8, 32)
     assert np.isfinite(np.asarray(hidden)).all()
+
+
+def test_peft_lora_rank_from_shapes_and_config():
+    """convert_peft_lora derives rank from lora_A shapes and alpha from
+    adapter_config.json, instead of hardcoding the reference r=8/alpha=16
+    (finetune.py:311-318); a config/shape mismatch is an error."""
+    import numpy as np
+    import pytest
+    from radialog_tpu.utils.hf_weights import convert_peft_lora
+
+    def sd_for(rank, num_layers=2, hidden=16):
+        sd = {}
+        for i in range(num_layers):
+            for t in ("q", "v"):
+                base = f"base_model.model.model.layers.{i}.self_attn.{t}_proj"
+                sd[f"{base}.lora_A.weight"] = np.ones((rank, hidden), np.float32)
+                sd[f"{base}.lora_B.weight"] = np.ones((hidden, rank), np.float32)
+        return sd
+
+    # rank inferred from shapes; alpha from adapter_config
+    lora = convert_peft_lora(sd_for(4), 2, adapter_config={"r": 4, "lora_alpha": 32})
+    assert float(lora["scale"]) == 32.0 / 4.0
+    # no config at all -> reference defaults for alpha, rank from shapes
+    lora = convert_peft_lora(sd_for(4), 2)
+    assert float(lora["scale"]) == 16.0 / 4.0
+    # config rank contradicting the weights is an error, not a silent scale bug
+    with pytest.raises(ValueError, match="rank mismatch"):
+        convert_peft_lora(sd_for(4), 2, adapter_config={"r": 8, "lora_alpha": 16})
