@@ -50,8 +50,11 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             img_embs: Optional[jax.Array] = None,
             lora: Optional[Dict] = None,
             policy: DTypePolicy = FP32,
-            kv_int8: bool = False):
+            kv_int8: bool = False,
+            axis_name: Optional[str] = None):
     """Run the prompt pass; returns (cache, last_logits).
+    axis_name: tensor-parallel mesh axis when called per-shard under
+    shard_map (parallel/tp_serving.py).
 
     tokens: (B, T) right-padded; lengths: (B,) true lengths;
     cache_len: S_max for the pre-allocated cache (>= T + max_new).
@@ -68,7 +71,7 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     logits, fresh = llama_apply(params, cfg, tokens, positions, bias,
                                 cache=None, img_embs=img_embs,
                                 img_start=img_start, lora=lora, policy=policy,
-                                lengths=lengths)
+                                lengths=lengths, axis_name=axis_name)
     cache = install_prefill(init_cache(cfg, b, cache_len, quantized=kv_int8),
                             fresh)
     last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
@@ -85,7 +88,8 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
                 first_logits: jax.Array, prompt_lengths: jax.Array,
                 dp: DecodeParams, lora: Optional[Dict] = None,
                 policy: DTypePolicy = FP32,
-                prompt_pad: Optional[int] = None) -> GenerationResult:
+                prompt_pad: Optional[int] = None,
+                axis_name: Optional[str] = None) -> GenerationResult:
     """Greedy/sampled decode with early exit once all sequences emit EOS.
 
     Static-slot KV writes: step s writes every sequence's K/V at slot
@@ -119,7 +123,8 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
         logits, cache = llama_apply(
             params, cfg, last_tok[:, None], pos, bias, cache=cache,
             write_pos=prompt_pad + step, lora=lora, policy=policy,
-            lengths=prompt_lengths, slot_info=(prompt_pad, step))
+            lengths=prompt_lengths, slot_info=(prompt_pad, step),
+            axis_name=axis_name)
         key, sub = jax.random.split(key)
         nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
         nxt = jnp.where(done, dp.eos_token_id, nxt)
@@ -141,7 +146,8 @@ def generate(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
              img_embs: Optional[jax.Array] = None,
              lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
              cache_len: Optional[int] = None,
-             kv_int8: bool = False) -> GenerationResult:
+             kv_int8: bool = False,
+             axis_name: Optional[str] = None) -> GenerationResult:
     """End-to-end: prefill + decode. ``tokens`` right-padded (B, T).
     ``kv_int8`` stores the cache int8 with per-token scales (unrolled serving
     params only) — halves cache memory + attention traffic."""
@@ -150,9 +156,9 @@ def generate(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         cache_len = bucket_length(t + dp.max_new_tokens)
     cache, last = prefill(params, cfg, tokens, lengths, cache_len,
                           img_embs=img_embs, lora=lora, policy=policy,
-                          kv_int8=kv_int8)
+                          kv_int8=kv_int8, axis_name=axis_name)
     return decode_loop(params, cfg, cache, last, lengths, dp, lora=lora,
-                       policy=policy, prompt_pad=t)
+                       policy=policy, prompt_pad=t, axis_name=axis_name)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dp", "cache_len", "policy"))

@@ -55,9 +55,14 @@ class LlamaConfig:
     bos_token_id: int = 1
     eos_token_id: int = 2
     pad_token_id: int = 0            # unk-as-pad at eval (test.py:304)
+    # set when num_heads is a per-shard count under tensor parallelism
+    # (parallel/tp_serving.py) and hidden_size//num_heads no longer holds
+    override_head_dim: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
+        if self.override_head_dim is not None:
+            return self.override_head_dim
         return self.hidden_size // self.num_heads
 
 
@@ -270,7 +275,7 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                     full_cache.v_scale, vs[None], (layer_idx, 0, write_pos, 0)))
             o = _attention_int8_kv(q, new_cache, layer_idx, bias, hd,
                                    lengths=lengths, slot_info=slot_info)
-            o = o.reshape(b, t, h)
+            o = o.reshape(b, t, nh * hd)
             return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
                     new_cache)
         ck_full = jax.lax.dynamic_update_slice(
@@ -311,9 +316,10 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
 
     if _use_flash(cache_layer, direct_cache, lengths, t):
         from ..ops.flash_attention import flash_attention
-        o = flash_attention(q, k_all, v_all, lengths, causal=True).reshape(b, t, h)
+        o = flash_attention(q, k_all, v_all, lengths,
+                            causal=True).reshape(b, t, nh * hd)
     else:
-        o = mha(q, k_all, v_all, bias=bias).reshape(b, t, h)
+        o = mha(q, k_all, v_all, bias=bias).reshape(b, t, nh * hd)
     return _proj(lp, lora_layer, "wo", o, lora_scale, policy), new_cache_layer
 
 
@@ -378,6 +384,10 @@ def _use_flash(cache_layer, direct_cache, lengths, t: int) -> bool:
             and jax.default_backend() in ("tpu", "axon"))
 
 
+def _psum_if(y: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    return jax.lax.psum(y, axis_name) if axis_name is not None else y
+
+
 def _mlp(lp: Dict, x: jax.Array, policy: DTypePolicy) -> jax.Array:
     if "gateup" in lp:  # fused serving path
         gu = linear(lp["gateup"], x, policy)
@@ -399,8 +409,13 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 policy: DTypePolicy = FP32,
                 remat: bool = False,
                 lengths: Optional[jax.Array] = None,
-                slot_info=None):
+                slot_info=None,
+                axis_name: Optional[str] = None):
     """Core transformer. Returns (logits, new_cache).
+    axis_name: tensor-parallel mesh axis when running per-shard under
+    shard_map (parallel/tp_serving.py) — attention/MLP outputs are partial
+    sums over the sharded head/ffn dims and get psum'd before the residual
+    (Megatron row-parallel reduction).
     slot_info: (prompt_pad, step) int32 scalars during static-slot decode —
     lets the int8-KV flash-decode kernel build its own mask.
 
@@ -443,9 +458,9 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             else:
                 fresh_k.append(cache_out[0])
                 fresh_v.append(cache_out[1])
-            x = x + attn_out
+            x = x + _psum_if(attn_out, axis_name)
             h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
-            x = x + _mlp(lp, h, policy)
+            x = x + _psum_if(_mlp(lp, h, policy), axis_name)
         x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
         logits = linear(params["lm_head"], x, policy).astype(jnp.float32)
         if cache is not None:
@@ -472,9 +487,9 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 layer_cache, write_pos, policy)
             ck = jax.lax.dynamic_update_index_in_dim(ck, nk, i, 0)
             cv = jax.lax.dynamic_update_index_in_dim(cv, nv, i, 0)
-            x = x + attn_out
+            x = x + _psum_if(attn_out, axis_name)
             h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
-            x = x + _mlp(lp, h, policy)
+            x = x + _psum_if(_mlp(lp, h, policy), axis_name)
             return (x, ck, cv), None
 
         body = jax.checkpoint(layer_fn) if remat else layer_fn
@@ -490,9 +505,9 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             attn_out, new_cache_layer = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
                 None, write_pos, policy, lengths=lengths)
-            x = x + attn_out
+            x = x + _psum_if(attn_out, axis_name)
             h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
-            x = x + _mlp(lp, h, policy)
+            x = x + _psum_if(_mlp(lp, h, policy), axis_name)
             return x, new_cache_layer
 
         body = jax.checkpoint(layer_fn) if remat else layer_fn

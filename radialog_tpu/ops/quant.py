@@ -136,4 +136,8 @@ def quantize_llama_host(params: Dict, device=None,
     else:
         out["lm_head"] = {"w": put(params["lm_head"]["w"])}
         out["embed"] = put(params["embed"])
+    if "img_proj" in params:
+        # base-model img_proj_layer (convert_llama carries it from
+        # model.img_proj_layer.*) — tiny, stays float for splice fidelity
+        out["img_proj"] = {k: put(v) for k, v in params["img_proj"].items()}
     return out

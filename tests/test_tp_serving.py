@@ -1,0 +1,101 @@
+"""Tensor-parallel quantized serving (parallel/tp_serving.py) on the
+8-device CPU mesh — the int8 PackedQ8 + int8-KV layout was bf16/SPMD-only
+in round 1; these tests validate the explicit shard_map sharding.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from radialog_tpu.core.mesh import MeshSpec, make_mesh
+from radialog_tpu.decode.engine import DecodeParams, generate
+from radialog_tpu.models.llama import TINY_LLAMA, llama_init, lora_init
+from radialog_tpu.ops.layers import FP32
+from radialog_tpu.ops.quant import quantize_llama_host
+from radialog_tpu.parallel.tp_serving import (shard_config, shard_lora,
+                                              shard_quantized_llama,
+                                              tp_generate)
+
+
+@pytest.fixture(scope="module")
+def serving_setup():
+    cfg = TINY_LLAMA
+    key = jax.random.PRNGKey(0)
+    host = jax.tree_util.tree_map(np.asarray, llama_init(key, cfg))
+    lora = jax.tree_util.tree_map(np.asarray, lora_init(key, cfg))
+
+    rng = np.random.default_rng(0)
+    b, t = 8, 24
+    tokens = rng.integers(3, 200, (b, t)).astype(np.int32)
+    lengths = rng.integers(12, t + 1, (b,)).astype(np.int32)
+    for i in range(b):
+        tokens[i, lengths[i]:] = 0
+        tokens[i, 2:2 + cfg.num_img_tokens] = cfg.img_token_id
+    img = rng.normal(size=(b, cfg.num_img_tokens, cfg.qformer_dim)
+                     ).astype(np.float32) * 0.1
+
+    dp = DecodeParams(max_new_tokens=6, eos_token_id=-1)
+    qparams = quantize_llama_host(host)
+    baseline = generate(qparams, cfg, jnp.asarray(tokens),
+                        jnp.asarray(lengths), dp, img_embs=jnp.asarray(img),
+                        lora=lora, policy=FP32, cache_len=64, kv_int8=True)
+    return cfg, host, lora, tokens, lengths, img, dp, np.asarray(baseline.tokens)
+
+
+def test_tp_single_model_shard_is_exact(serving_setup):
+    """model=1: no weight splitting, so per-shard activation quantization is
+    identical to the unsharded path — tokens must match exactly (validates
+    the shard_map plumbing, the data-axis batch split, and the psum no-op)."""
+    cfg, host, lora, tokens, lengths, img, dp, base = serving_setup
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    gp, specs = shard_quantized_llama(host, cfg, 1)
+    gl, lspecs = shard_lora(lora, cfg, 1)
+    res = tp_generate(mesh, gp, specs, cfg, tokens, lengths, dp,
+                      img_embs=img, glora=gl, lora_specs=lspecs,
+                      policy=FP32, cache_len=64, kv_int8=True)
+    np.testing.assert_array_equal(np.asarray(res.tokens), base)
+
+
+def test_tp_2way_int8_serving(serving_setup):
+    """4x2 (data x model) mesh over the full int8 serving stack: PackedQ8
+    column/row shards, per-shard int8 KV cache, LoRA deltas, <IMG> splice.
+
+    2-way TP re-quantizes the row-parallel activations per shard (each shard
+    scales its own half of the wo/down inputs), so greedy tokens can diverge
+    from the unsharded path exactly as int8-KV can diverge from bf16-KV —
+    the assertion is first-token equality (prefill math) plus high agreement
+    (deterministic for these seeds; measured 0.92)."""
+    cfg, host, lora, tokens, lengths, img, dp, base = serving_setup
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    gp, specs = shard_quantized_llama(host, cfg, 2)
+    gl, lspecs = shard_lora(lora, cfg, 2)
+    res = tp_generate(mesh, gp, specs, cfg, tokens, lengths, dp,
+                      img_embs=img, glora=gl, lora_specs=lspecs,
+                      policy=FP32, cache_len=64, kv_int8=True)
+    got = np.asarray(res.tokens)
+    np.testing.assert_array_equal(got[:, 0], base[:, 0])
+    assert (got == base).mean() >= 0.85, (got, base)
+
+
+def test_tp_2way_bf16_kv_cache(serving_setup):
+    """Same mesh, bf16 KV cache (kv_int8=False), no LoRA — the serving
+    layout's other cache mode shards too (plain-text serve: llama_init has
+    no base img_proj; a no-adapter image serve needs convert_llama's
+    model.img_proj_layer carry, covered by test_hf_parity)."""
+    cfg, host, lora, tokens, lengths, img, dp, base = serving_setup
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    gp, specs = shard_quantized_llama(host, cfg, 2)
+    toks = np.where(tokens == cfg.img_token_id, 7, tokens)
+    res = tp_generate(mesh, gp, specs, cfg, toks, lengths, dp,
+                      policy=FP32, cache_len=64, kv_int8=False)
+    assert np.asarray(res.tokens).shape == base.shape
+
+
+def test_shard_config_validation():
+    cfg = TINY_LLAMA  # 4 heads
+    sc = shard_config(cfg, 2)
+    assert sc.num_heads == 2 and sc.head_dim == cfg.head_dim
+    assert sc.intermediate_size == cfg.intermediate_size // 2
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_config(cfg, 3)
