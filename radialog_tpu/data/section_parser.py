@@ -148,12 +148,126 @@ def parse_report(text: str) -> Dict[str, str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Manually determined sections for poorly formatted reports.
+#
+# Data contract from mimic-cxr/section_parser.py:207-270 (originating in the
+# upstream MIT-LCP/mimic-cxr text tools). Two tables keyed by study stem:
+#   custom_section_names: study -> the section name whose text should be used
+#   custom_indices:       study -> [start, end) character slice of raw text
+#                          ([0, 0] = the report has no findings at all)
+#
+# NOTE ON REFERENCE BEHAVIOR: RaDialog's create_section_files.py *loads* these
+# (create_section_files.py:47) but never applies them in its main loop, so the
+# shipped mimic_cxr_sectioned.csv reflects the automatic parser only. We expose
+# the tables and let the CLI apply them behind an explicit flag
+# (apply_custom_rules) whose default (False) matches the reference's output
+# byte-for-byte on the affected studies.
+# ---------------------------------------------------------------------------
+
+CUSTOM_SECTION_NAMES: Dict[str, str] = {
+    "s50913680": "recommendations",
+    "s59363654": "examination",
+    "s59279892": "technique",
+    "s59768032": "recommendations",
+    "s57936451": "indication",
+    "s50058765": "indication",
+    "s53356173": "examination",
+    "s53202765": "technique",
+    "s50808053": "technique",
+    "s51966317": "indication",
+    "s50743547": "examination",
+    "s56451190": "note",
+    "s59067458": "recommendations",
+    "s59215320": "examination",
+    "s55124749": "indication",
+    "s54365831": "indication",
+    "s59087630": "recommendations",
+    "s58157373": "recommendations",
+    "s56482935": "recommendations",
+    "s58375018": "recommendations",
+    "s54654948": "indication",
+    "s55157853": "examination",
+    "s51491012": "history",
+}
+
+CUSTOM_INDICES: Dict[str, Tuple[int, int]] = {
+    "s50525523": (201, 349),
+    "s57564132": (233, 554),
+    "s59982525": (313, 717),
+    "s53488209": (149, 475),
+    "s54875119": (234, 988),
+    "s50196495": (59, 399),
+    "s56579911": (59, 218),
+    "s52648681": (292, 631),
+    "s59889364": (172, 453),
+    "s53514462": (73, 377),
+    "s59505494": (59, 450),
+    "s53182247": (59, 412),
+    "s51410602": (47, 320),
+    "s56412866": (522, 822),
+    "s54986978": (59, 306),
+    "s59003148": (262, 505),
+    "s57150433": (61, 394),
+    "s56760320": (219, 457),
+    "s59562049": (158, 348),
+    "s52674888": (145, 296),
+    "s55258338": (192, 568),
+    "s59330497": (140, 655),
+    "s52119491": (179, 454),
+    # no findings at all in the entire report
+    "s58235663": (0, 0),
+    "s50798377": (0, 0),
+    "s54168089": (0, 0),
+    "s53071062": (0, 0),
+    "s56724958": (0, 0),
+    "s54231141": (0, 0),
+    "s53607029": (0, 0),
+    "s52035334": (0, 0),
+}
+
+
+def custom_mimic_cxr_rules() -> Tuple[Dict[str, str], Dict[str, Tuple[int, int]]]:
+    """(custom_section_names, custom_indices) — section_parser.py:207-270."""
+    return CUSTOM_SECTION_NAMES, CUSTOM_INDICES
+
+
+def parse_report_with_rules(study_stem: str, text: str,
+                            apply_custom_rules: bool = False) -> Dict[str, str]:
+    """parse_report plus the optional manual-rule overrides.
+
+    When ``apply_custom_rules`` is True, studies in CUSTOM_INDICES take their
+    findings from the raw-text character slice (empty slice -> no findings),
+    and studies in CUSTOM_SECTION_NAMES take as findings the named section's
+    text — the upstream tooling's semantics. Default False reproduces the
+    reference pipeline, which loads but never applies the rules
+    (create_section_files.py:47).
+    """
+    if apply_custom_rules and study_stem in CUSTOM_INDICES:
+        lo, hi = CUSTOM_INDICES[study_stem]
+        out: Dict[str, str] = {}
+        sliced = text[lo:hi].strip()
+        if sliced:
+            out["findings"] = sliced
+        return out
+    out = parse_report(text)
+    if apply_custom_rules and study_stem in CUSTOM_SECTION_NAMES:
+        target = CUSTOM_SECTION_NAMES[study_stem]
+        sections, names = split_sections(text)
+        for i in reversed(range(len(names))):
+            if names[i] == target:
+                out["findings"] = sections[i].strip()
+                break
+    return out
+
+
 SECTIONED_COLUMNS = ["impression", "findings", "last_paragraph", "comparison",
                      "dicom_id", "Img_Filename", "Img_Folder", "Note_file"]
 
 
 def build_sectioned_csv(studies: Iterable[Tuple[str, str, str, List[str]]],
-                        output_path: str | Path) -> int:
+                        output_path: str | Path,
+                        apply_custom_rules: bool = False) -> int:
     """Write mimic_cxr_sectioned.csv.
 
     ``studies``: iterable of (study_stem e.g. 's501...', report_text,
@@ -166,7 +280,7 @@ def build_sectioned_csv(studies: Iterable[Tuple[str, str, str, List[str]]],
         w = csv.writer(f)
         w.writerow(SECTIONED_COLUMNS)
         for study_stem, text, img_folder, dicom_ids in studies:
-            secs = parse_report(text)
+            secs = parse_report_with_rules(study_stem, text, apply_custom_rules)
             base = [secs.get("impression"), secs.get("findings"),
                     secs.get("last_paragraph"), secs.get("comparison")]
             for d in dicom_ids:

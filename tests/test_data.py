@@ -4,6 +4,10 @@ Golden values below were produced by running the reference implementations
 (mimic-cxr/section_parser.py section_text, test.py Conversation) on the same
 inputs — hard-coded so tests don't depend on /root/reference.
 """
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
 from radialog_tpu.data.conversation import (
     Conversation, RADIALOG_SYSTEM, extract_assistant_reply, extract_report,
     single_turn_prompt,
@@ -64,6 +68,80 @@ class TestSectionParser:
         text = ("                                 FINAL REPORT\n IMPRESSION:"
                 "  First.\n \n IMPRESSION:  Second.\n")
         assert parse_report(text)["impression"] == "Second."
+
+
+class TestCustomRules:
+    """Manual per-study overrides (section_parser.py:207-270). The reference
+    loads but never applies them (create_section_files.py:47); we verify both
+    the default (parity: not applied) and the opt-in upstream semantics."""
+
+    def test_tables_match_reference_counts(self):
+        from radialog_tpu.data.section_parser import custom_mimic_cxr_rules
+        names, indices = custom_mimic_cxr_rules()
+        assert len(names) == 23 and len(indices) == 31
+        assert names["s50913680"] == "recommendations"
+        assert indices["s50525523"] == (201, 349)
+        assert indices["s58235663"] == (0, 0)
+
+    def test_default_matches_reference_no_application(self):
+        from radialog_tpu.data.section_parser import parse_report_with_rules
+        out = parse_report_with_rules("s50913680", TYPICAL)
+        assert out == parse_report(TYPICAL)
+
+    def test_custom_index_slice_becomes_findings(self):
+        from radialog_tpu.data.section_parser import parse_report_with_rules
+        text = "x" * 201 + " Slice findings text. " + "y" * 200
+        out = parse_report_with_rules("s50525523", text,
+                                      apply_custom_rules=True)
+        assert out["findings"] == text[201:349].strip()
+
+    def test_zero_index_means_no_findings(self):
+        from radialog_tpu.data.section_parser import parse_report_with_rules
+        out = parse_report_with_rules("s58235663", TYPICAL,
+                                      apply_custom_rules=True)
+        assert "findings" not in out
+
+    def test_custom_section_name_override(self):
+        from radialog_tpu.data.section_parser import parse_report_with_rules
+        text = ("                                 FINAL REPORT\n "
+                "RECOMMENDATION(S):  Repeat radiograph.\n \n IMPRESSION:  "
+                "Clear.\n")
+        out = parse_report_with_rules("s50913680", text,
+                                      apply_custom_rules=True)
+        assert out["findings"] == "Repeat radiograph."
+        assert out["impression"] == "Clear."
+
+    def test_cli_builds_csv(self, tmp_path):
+        import csv
+        import subprocess
+        import sys
+        reports = tmp_path / "reports"
+        jpgs = tmp_path / "jpgs"
+        sdir = reports / "p10" / "p10000001"
+        sdir.mkdir(parents=True)
+        (sdir / "s50000001.txt").write_text(TYPICAL)
+        idir = jpgs / "p10" / "p10000001" / "s50000001"
+        idir.mkdir(parents=True)
+        (idir / "abc-123.jpg").write_bytes(b"")
+        (idir / "def-456.jpg").write_bytes(b"")
+        out = tmp_path / "out"
+        r = subprocess.run(
+            [sys.executable, "create_sections.py",
+             "--reports_path", str(reports),
+             "--mimic_cxr_jpg_path", str(jpgs),
+             "--output_path", str(out)],
+            capture_output=True, text=True, cwd=str(ROOT))
+        assert r.returncode == 0, r.stderr
+        with open(out / "mimic_cxr_sectioned.csv", newline="") as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == ["impression", "findings", "last_paragraph",
+                           "comparison", "dicom_id", "Img_Filename",
+                           "Img_Folder", "Note_file"]
+        assert len(rows) == 3  # header + one per dicom
+        assert {rows[1][4], rows[2][4]} == {"abc-123", "def-456"}
+        assert rows[1][1] == "The lungs are clear. No pleural effusion."
+        assert rows[1][6] == "files/p10/p10000001/s50000001"
+        assert rows[1][7] == "s50000001.txt"
 
 
 class TestConversation:
