@@ -14,6 +14,14 @@ def parse_args():
     p.add_argument("--cfg-path", default=None)
     p.add_argument("--options", nargs="+", default=None)
     p.add_argument("--mock", action="store_true", default=False)
+    p.add_argument("--raw", action="store_true", default=False,
+                   help="train from raw JPEGs (frozen trunk inside the jitted "
+                        "step) instead of precomputed embeddings")
+    p.add_argument("--use_augs", action="store_true", default=False,
+                   help="apply train-time augs (RandomAffine+ColorJitter); "
+                        "default off matches the reference, whose stage-1 "
+                        "augs are constructed but never applied "
+                        "(ReportDataset.py:243)")
     p.add_argument("--evaluate", action="store_true", default=False,
                    help="precompute Q-Former embeddings instead of training")
     p.add_argument("--max-epoch", type=int, default=None)
@@ -54,6 +62,10 @@ def main():
         accum_grad_iters=run.get("accum_grad_iters", 1),
         output_dir=args.output_dir)
 
+    if args.mock and args.raw:
+        run_mock_raw(args, scfg)
+        return
+
     if args.mock:
         bcfg = Blip2Config(qformer=TINY_QFORMER, max_txt_len=16)
         params, _ = blip2_init(jax.random.PRNGKey(0), bcfg, with_vision=False)
@@ -91,6 +103,112 @@ def main():
     raise SystemExit(
         "non-mock stage-1 training needs MIMIC-CXR data + a BERT tokenizer: "
         "point --cfg-path at a YAML with dataset paths (see configs/)")
+
+
+def run_mock_raw(args, scfg):
+    """End-to-end raw-image stage-1 smoke: JPEG -> dataset join -> host decode
+    -> device preprocess -> frozen-trunk encode (inside the jitted step,
+    stop_gradient) -> ITC+ITM+LM loss. No precomputed embeddings anywhere."""
+    import csv
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from radialog_tpu.data.datasets import MimicPaths, Stage1Data
+    from radialog_tpu.data.tokenization import WhitespaceTokenizer
+    from radialog_tpu.models.biovil_t import biovil_t_init
+    from radialog_tpu.models.blip2 import Blip2Config, blip2_init
+    from radialog_tpu.models.qformer import TINY_QFORMER
+    from radialog_tpu.ops.image import load_image_grayscale, preprocess_cxr_batch
+    from radialog_tpu.train.optim import make_adamw
+    from radialog_tpu.train.runner import Stage1Config  # noqa: F401 (surface)
+    from radialog_tpu.train.steps import TrainState, make_stage1_raw_train_step
+
+    bcfg = Blip2Config(qformer=TINY_QFORMER, max_txt_len=16)
+    rng = np.random.default_rng(0)
+    n, b = 8, 4
+
+    # --- synthesize a miniature MIMIC tree: JPEGs + split/sectioned CSVs
+    tmp = Path(tempfile.mkdtemp(prefix="stage1_raw_"))
+    img_root = tmp / "images"
+    captions = ["lungs are clear no effusion", "mild cardiomegaly is seen",
+                "right pleural effusion present", "no acute process"]
+    rows = []
+    for i in range(n):
+        folder = f"files/p10/p100000{i:02d}/s5000000{i}"
+        d = img_root / folder
+        d.mkdir(parents=True)
+        dicom = f"dcm-{i:03d}"
+        Image.fromarray(rng.integers(0, 255, (96, 80), np.uint8), "L").save(
+            d / f"{dicom}.jpg")
+        rows.append((dicom, captions[i % len(captions)], folder,
+                     f"{dicom}.jpg", f"s5000000{i}.txt"))
+    with open(tmp / "split.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["dicom_id", "split"])
+        for dicom, *_ in rows:
+            w.writerow([dicom, "train"])
+    with open(tmp / "sectioned.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["findings", "dicom_id", "Img_Folder", "Img_Filename",
+                    "Note_file"])
+        for dicom, cap, folder, fn, note in rows:
+            w.writerow([cap, dicom, folder, fn, note])
+
+    data = Stage1Data(MimicPaths(split_csv=str(tmp / "split.csv"),
+                                 sectioned_csv=str(tmp / "sectioned.csv"),
+                                 chexpert_csv="",
+                                 image_root=str(img_root)),
+                      split="train", custom_epochs_per_epoch=2)
+    tok = WhitespaceTokenizer(vocab_size=TINY_QFORMER.bert.vocab_size)
+
+    # --- models: tiny trunk (64px -> 2x2 grid -> 4 tokens) + tiny Q-Former
+    key = jax.random.PRNGKey(0)
+    kv, kb = jax.random.split(key)
+    visual_params, visual_state = biovil_t_init(
+        kv, joint_feature_size=TINY_QFORMER.encoder_width)
+    params, _ = blip2_init(kb, bcfg, with_vision=False)
+
+    tx = make_adamw(scfg.init_lr, weight_decay=scfg.weight_decay)
+    state = TrainState.create(params, tx)
+    step_fn = jax.jit(make_stage1_raw_train_step(tx, bcfg,
+                                                 augment=args.use_augs))
+    jkey = jax.random.PRNGKey(scfg.seed)
+
+    def make_batch(sub_epoch, start):
+        data.set_custom_epoch(sub_epoch)
+        recs = [data[(start + j) % len(data)] for j in range(b)]
+        imgs = np.stack([load_image_grayscale(r["img_path"]) for r in recs])
+        images = preprocess_cxr_batch(jnp.asarray(imgs), resize=72, crop=64)
+        ids = [tok(r["text_output"], max_length=bcfg.max_txt_len)["input_ids"]
+               for r in recs]
+        t = max(len(x) for x in ids)
+        text_ids = np.zeros((b, t), np.int32)
+        text_mask = np.zeros((b, t), np.int32)
+        for j, x in enumerate(ids):
+            text_ids[j, :len(x)] = x
+            text_mask[j, :len(x)] = 1
+        return {"images": images, "text_ids": jnp.asarray(text_ids),
+                "text_mask": jnp.asarray(text_mask)}
+
+    spe = args.steps_per_epoch or 2
+    for epoch in range(args.max_epoch or 1):
+        for sub in range(data.custom_epochs_per_epoch):
+            for it in range(spe):
+                batch = make_batch(sub, it * b)
+                jkey, sk = jax.random.split(jkey)
+                state, metrics = step_fn(state, visual_params, visual_state,
+                                         batch, sk)
+                print(f"epoch {epoch}.{sub} it {it}: "
+                      f"loss={float(metrics['loss']):.4f} "
+                      f"itc={float(metrics['loss_itc']):.4f} "
+                      f"itm={float(metrics['loss_itm']):.4f} "
+                      f"lm={float(metrics['loss_lm']):.4f}")
+    print("raw-image stage-1 mock done (JPEG -> loss, no precomputed embeds)")
 
 
 if __name__ == "__main__":

@@ -109,6 +109,57 @@ class ReportGenData:
         return [self[i] for i in range(len(self))]
 
 
+class Stage1Data:
+    """Image+caption records for Q-Former stage-1 training — the
+    MIMIC_CXR_Dataset contract (ReportDataset.py:210-371): split/sectioned/
+    chexpert CSV joins, newline-stripped findings as the caption
+    (text_output, consumed by the stage-1 losses, blip2_qformer.py:93), and
+    the "custom epochs" subset scheme: the train set is divided into
+    ``custom_epochs_per_epoch`` contiguous subsets, one per sub-epoch
+    (ReportDataset.py:236,327-331,370-371 — 2 for train, 1 otherwise).
+    """
+
+    def __init__(self, paths: MimicPaths, split: str = "train",
+                 truncate: Optional[int] = None,
+                 custom_epochs_per_epoch: Optional[int] = None):
+        split_df = pd.read_csv(paths.split_csv)
+        reports = pd.read_csv(paths.sectioned_csv).dropna(subset=["findings"])
+        self.img_ids = {d: i for i, d in enumerate(reports["dicom_id"])}
+        split_ids = set(split_df.loc[split_df["split"] == split]["dicom_id"])
+        ann = reports.loc[reports["dicom_id"].isin(split_ids)].copy()
+        if truncate is not None:
+            ann = ann[:truncate]
+        ann["findings"] = ann["findings"].apply(lambda x: x.replace("\n", ""))
+        if paths.chexpert_csv:
+            chexpert = pd.read_csv(paths.chexpert_csv)
+            ann = pd.merge(ann, chexpert, how="left", on="dicom_id")
+        self.annotation = ann
+        if custom_epochs_per_epoch is None:
+            custom_epochs_per_epoch = 2 if split == "train" and truncate is None else 1
+        self.custom_epochs_per_epoch = custom_epochs_per_epoch
+        self.current_custom_epoch = 0
+        self.image_root = paths.image_root
+
+    def set_custom_epoch(self, custom_epoch: int) -> None:
+        self.current_custom_epoch = custom_epoch % self.custom_epochs_per_epoch
+
+    def __len__(self) -> int:
+        return len(self.annotation) // self.custom_epochs_per_epoch
+
+    def __getitem__(self, index: int) -> Dict:
+        subset_size = len(self.annotation) // self.custom_epochs_per_epoch
+        ann = self.annotation.iloc[self.current_custom_epoch * subset_size + index]
+        img_path = f"{ann['Img_Folder']}/{ann['Img_Filename']}"
+        if self.image_root:
+            img_path = f"{self.image_root}/{img_path}"
+        return {
+            "img_path": img_path,
+            "text_output": ann["findings"].strip(),
+            "image_id": self.img_ids[ann["dicom_id"]],
+            "dicom": ann["dicom_id"],
+        }
+
+
 def stratified_indices(annotation: pd.DataFrame,
                        chexpert_cols: Sequence[str] = tuple(CHEXPERT_COLS),
                        simulated_epochs: int = 1) -> List[int]:

@@ -41,13 +41,19 @@ class ImageModelOutput(NamedTuple):
     projected_global_embedding: jax.Array  # (B, J)
 
 
-def biovil_t_init(key: jax.Array, joint_feature_size: int = 128) -> Tuple[Dict, Dict]:
-    """Init (params, state) for the full image model."""
+def biovil_t_init(key: jax.Array, joint_feature_size: int = 128,
+                  resnet_layers=RESNET50_LAYERS,
+                  bottleneck: bool = True) -> Tuple[Dict, Dict]:
+    """Init (params, state) for the full image model.
+
+    resnet_layers/bottleneck default to the reference's ResNet-50; tests pass
+    smaller stacks (e.g. (1,1,1,1) basic blocks) to keep CPU compiles fast."""
     ks = jax.random.split(key, 5)
     params: Dict = {}
     state: Dict = {}
-    params["resnet"], state["resnet"] = resnet_init(ks[0], RESNET50_LAYERS, bottleneck=True)
-    params["backbone_to_vit"] = conv2d_init(ks[1], 2048, VIT_DIM, 1, bias=False)
+    params["resnet"], state["resnet"] = resnet_init(ks[0], resnet_layers, bottleneck=bottleneck)
+    trunk_out = 512 * (4 if bottleneck else 1)  # 2048 for ResNet-50
+    params["backbone_to_vit"] = conv2d_init(ks[1], trunk_out, VIT_DIM, 1, bias=False)
     params["vit_pooler"] = vit_pooler_init(ks[2], dim=VIT_DIM, grid=(14, 14))
     params["missing_previous_emb"] = trunc_normal(ks[3], (VIT_DIM,), std=0.02)
     # projector: conv1x1 512->J (no bias) + BN + ReLU + conv1x1 J->J (bias)

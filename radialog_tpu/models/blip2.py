@@ -65,14 +65,26 @@ def blip2_init(key, cfg: Blip2Config, with_vision: bool = True) -> Tuple[Dict, D
     return params, state
 
 
+def blip2_trunk_tokens(visual_params: Dict, visual_state: Dict,
+                       images: jax.Array,
+                       policy: DTypePolicy = FP32) -> jax.Array:
+    """images (B,448,448,3) -> RAW patch tokens (B,196,1408), pre-ln_vision.
+
+    This is the frozen part: the reference freezes only visual_encoder
+    (blip2_qformer.py:66-71) while ln_vision stays trainable, so the
+    stop_gradient boundary for stage-1 training sits exactly here."""
+    out, _ = biovil_t_apply(visual_params, visual_state, images,
+                            train=False, policy=policy)
+    return patch_tokens_for_qformer(out.projected_patch_embeddings)
+
+
 def blip2_encode_image(params: Dict, state: Dict, images: jax.Array,
                        policy: DTypePolicy = FP32) -> jax.Array:
     """images (B,448,448,3) -> ln_vision'd patch tokens (B,196,1408).
-    The trunk is frozen (blip2_qformer.py:66-71): callers should wrap in
-    lax.stop_gradient for training."""
-    out, _ = biovil_t_apply(params["visual"], state["visual"], images,
-                            train=False, policy=policy)
-    tokens = patch_tokens_for_qformer(out.projected_patch_embeddings)
+    The trunk is frozen (blip2_qformer.py:66-71): callers should wrap the
+    blip2_trunk_tokens part in lax.stop_gradient for training."""
+    tokens = blip2_trunk_tokens(params["visual"], state["visual"], images,
+                                policy=policy)
     return layernorm(params["ln_vision"], tokens)
 
 

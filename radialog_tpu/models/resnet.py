@@ -114,8 +114,11 @@ def resnet_init(key: jax.Array, layers: Tuple[int, ...] = RESNET50_LAYERS,
 
 
 def resnet_apply(p: dict, s: dict, x: jax.Array, train: bool = False,
-                 bottleneck: bool = True, policy: DTypePolicy = FP32):
-    """x: (B,H,W,3) -> x4 feature map (B,H/32,W/32,C). Returns (x4, new_state)."""
+                 bottleneck: bool | None = None, policy: DTypePolicy = FP32):
+    """x: (B,H,W,3) -> x4 feature map (B,H/32,W/32,C). Returns (x4, new_state).
+    Block type is inferred from the param tree when ``bottleneck`` is None."""
+    if bottleneck is None:
+        bottleneck = "conv3" in p["layer1"][0]
     ns: Dict = {}
     y = conv2d(p["conv1"], x, 2, 3, policy=policy)
     y, ns["bn1"] = batchnorm(p["bn1"], s["bn1"], y, train)

@@ -18,6 +18,7 @@ import optax
 
 from ..models.chexpert import (CHEXPERT_CLASSES, bce_with_logits_loss,
                                chexpert_classifier_apply)
+from ..ops.augment import augment_cxr
 from ..ops.layers import DTypePolicy, FP32
 from .steps import TrainState
 
@@ -39,9 +40,14 @@ def class_weights(labels: np.ndarray, weighting: str = "log") -> np.ndarray:
 
 def make_classifier_train_step(tx: optax.GradientTransformation,
                                pos_weight: Optional[np.ndarray] = None,
-                               policy: DTypePolicy = FP32) -> Callable:
-    """step((state, model_state), batch{images,labels}) -> updated + metrics.
-    BatchNorm state threads through (the Lightning model trains BN too)."""
+                               policy: DTypePolicy = FP32,
+                               augment: bool = False) -> Callable:
+    """step((state, model_state), batch{images,labels}[, rng]) -> updated + metrics.
+    BatchNorm state threads through (the Lightning model trains BN too).
+
+    With ``augment=True`` the step takes an extra PRNG key and applies the
+    reference's train augs (RandomAffine 30deg/shear 15 + ColorJitter 0.2/0.2,
+    chexpert_dataset.py:47-52) on device, inside the jitted step."""
     pw = jnp.asarray(pos_weight) if pos_weight is not None else None
 
     def loss_fn(params, model_state, batch):
@@ -49,13 +55,23 @@ def make_classifier_train_step(tx: optax.GradientTransformation,
             params, model_state, batch["images"], train=True, policy=policy)
         return bce_with_logits_loss(logits, batch["labels"], pw), (logits, new_state)
 
-    def step(state: TrainState, model_state: Dict, batch: Dict):
+    def _update(state, model_state, batch):
         (loss, (logits, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, model_state, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params, opt_state, state.step + 1), new_model_state,
                 {"loss": loss, "logits": logits})
+
+    if not augment:
+        def step(state: TrainState, model_state: Dict, batch: Dict):
+            return _update(state, model_state, batch)
+    else:
+        def step(state: TrainState, model_state: Dict, batch: Dict,
+                 rng: jax.Array):
+            keys = jax.random.split(rng, batch["images"].shape[0])
+            images = jax.vmap(augment_cxr)(batch["images"], keys)
+            return _update(state, model_state, {**batch, "images": images})
 
     return step
 

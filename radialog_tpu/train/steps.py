@@ -16,9 +16,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.blip2 import Blip2Config, blip2_stage1_losses
+from ..models.blip2 import Blip2Config, blip2_stage1_losses, blip2_trunk_tokens
 from ..models.llama import LlamaConfig, find_img_start, llama_apply, prefill_bias
-from ..ops.layers import DTypePolicy, FP32
+from ..ops.augment import augment_cxr
+from ..ops.layers import DTypePolicy, FP32, layernorm
 
 IGNORE_INDEX = -100  # HF convention, finetune.py:283-307 masks prompt tokens
 
@@ -102,6 +103,53 @@ def make_stage1_train_step(tx: optax.GradientTransformation, cfg: Blip2Config,
     def step(state: TrainState, batch: Dict, rng: jax.Array) -> Tuple[TrainState, Dict]:
         (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": out.loss, "loss_itc": out.loss_itc,
+                 "loss_itm": out.loss_itm, "loss_lm": out.loss_lm})
+
+    return step
+
+
+def make_stage1_raw_train_step(tx: optax.GradientTransformation,
+                               cfg: Blip2Config,
+                               policy: DTypePolicy = FP32,
+                               augment: bool = False) -> Callable:
+    """Stage-1 step over RAW images: the frozen BioViL trunk runs inside the
+    jitted step under stop_gradient (the reference runs the ViT forward per
+    batch under no_grad, blip2_qformer.py:96), ln_vision stays trainable
+    (only visual_encoder params are frozen, blip2_qformer.py:66-71).
+
+    state.params is the blip2 tree WITHOUT the 'visual' subtree; the frozen
+    trunk (visual_params, visual_state) is a separate argument so it never
+    enters the optimizer.
+
+    batch: images (B,448,448,3) float [0,1], text_ids/text_mask (B,T).
+    ``augment=True`` additionally applies the reference's train augs on
+    device — NOTE the reference *constructs* these for stage-1 but never
+    applies them (ReportDataset.py:243 vis_augs is dead code), so the
+    parity default is False.
+    """
+
+    def loss_fn(params, visual_params, visual_state, batch, rng):
+        images = batch["images"]
+        if augment:
+            rng, ka = jax.random.split(rng)
+            keys = jax.random.split(ka, images.shape[0])
+            images = jax.vmap(augment_cxr)(images, keys)
+        tokens = jax.lax.stop_gradient(
+            blip2_trunk_tokens(visual_params, visual_state, images, policy))
+        image_embeds = layernorm(params["ln_vision"], tokens)
+        out = blip2_stage1_losses(params, cfg, image_embeds,
+                                  batch["text_ids"], batch["text_mask"],
+                                  rng, policy=policy)
+        return out.loss, out
+
+    def step(state: TrainState, visual_params: Dict, visual_state: Dict,
+             batch: Dict, rng: jax.Array) -> Tuple[TrainState, Dict]:
+        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, visual_params, visual_state, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params, opt_state, state.step + 1),

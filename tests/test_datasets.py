@@ -146,3 +146,38 @@ class TestTokenization:
         tok = WhitespaceTokenizer(vocab_size=512, num_img_tokens=4)
         ids = tok.encode("Image: " + "<IMG>" * 4 + ". Report:")
         assert ids.count(tok.img_token_id) == 4
+
+
+class TestStage1Data:
+    """MIMIC_CXR_Dataset contract (ReportDataset.py:210-371): joins + the
+    custom-epoch subset scheme."""
+
+    def test_train_defaults_two_sub_epochs(self, paths):
+        from radialog_tpu.data.datasets import Stage1Data
+        data = Stage1Data(paths, split="train")
+        assert data.custom_epochs_per_epoch == 2
+        assert len(data) == 2  # 4 train rows // 2 sub-epochs
+
+    def test_truncate_disables_sub_epochs(self, paths):
+        from radialog_tpu.data.datasets import Stage1Data
+        data = Stage1Data(paths, split="train", truncate=3)
+        assert data.custom_epochs_per_epoch == 1
+        assert len(data) == 3
+
+    def test_sub_epoch_subsets_are_disjoint_and_cover(self, paths):
+        from radialog_tpu.data.datasets import Stage1Data
+        data = Stage1Data(paths, split="train")
+        data.set_custom_epoch(0)
+        first = [data[i]["dicom"] for i in range(len(data))]
+        data.set_custom_epoch(1)
+        second = [data[i]["dicom"] for i in range(len(data))]
+        assert not set(first) & set(second)
+        assert len(first + second) == 4
+
+    def test_record_fields(self, paths):
+        from radialog_tpu.data.datasets import Stage1Data
+        data = Stage1Data(paths, split="test")
+        rec = data[0]
+        assert rec["text_output"].startswith("The lungs are clear")
+        assert rec["img_path"].endswith(".jpg")
+        assert rec["dicom"] in data.img_ids
