@@ -14,6 +14,19 @@ throughput: HF greedy generate, fp16 Vicuna-7B, batch 12, max_new_tokens 300
 (test.py:279,339-348) on an A40-class GPU ~= 0.40 reports/s (≈8-12 tok/s/seq
 batched; the repo ships no published numbers, BASELINE.md).
 
+Derivation + sensitivity bracket for that 0.40 (it is an estimate, so the
+headline ratio inherits its error bar): a report is ~300 greedy tokens
+(test.py:344); HF's unfused generate on fp16 7B is HBM-bound at roughly
+8-12 tok/s/seq for batch 12 on A40-class bandwidth (~700 GB/s, 14 GB of
+weights re-read per token plus growing KV reads and per-token Python/launch
+overhead). Batch 12 / (300 tok / [8..12] tok/s) = 0.32-0.48 reports/s;
+widening for hardware variance (A6000/A100 spread) gives a defensible
+bracket of [0.27, 0.60] reports/s. A measured value of V reports/s
+therefore implies vs_baseline in [V/0.60, V/0.27] — e.g. the round-1
+4.85 reports/s is 8.1x at worst, 18x at best, 12.1x at the 0.40 point
+estimate. The JSON line reports the point estimate; this bracket is the
+honesty bound on it.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json

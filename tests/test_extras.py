@@ -57,3 +57,35 @@ def test_summary():
     assert n > 0
     text = summarize(params, depth=1)
     assert "embed" in text and "layers" in text
+
+
+class TestFetchUtility:
+    """utils/fetch.py: md5 verification + cache-hit logic (network-free)."""
+
+    def test_md5_and_verify(self, tmp_path):
+        from radialog_tpu.utils.fetch import file_md5, verify_md5
+        f = tmp_path / "w.bin"
+        f.write_bytes(b"hello weights")
+        import hashlib
+        expect = hashlib.md5(b"hello weights").hexdigest()
+        assert file_md5(f) == expect
+        assert verify_md5(f, expect)
+        assert not verify_md5(f, "0" * 32)
+        assert verify_md5(f, None)  # no pin -> accept
+
+    def test_cache_hit_skips_download(self, tmp_path):
+        from radialog_tpu.utils.fetch import download_url, file_md5
+        f = tmp_path / "w.bin"
+        f.write_bytes(b"cached")
+        # url is bogus: must not be touched because the verified file exists
+        out = download_url("http://invalid.invalid/w.bin", tmp_path, "w.bin",
+                           md5=file_md5(f))
+        assert out == f
+
+    def test_reference_pins_present(self):
+        from radialog_tpu.utils import fetch
+        assert fetch.BIOVIL_T_IMAGE_WEIGHTS_MD5 == "a83080e2f23aa584a4f2b24c39b1bb64"
+        assert fetch.BIOVIL_IMAGE_WEIGHTS_MD5 == "02ce6ee460f72efd599295f440dbb453"
+        assert "BiomedVLP-BioViL-T" in fetch.BIOVIL_T_IMAGE_WEIGHTS_URL
+        assert fetch.BIOVIL_T_IMAGE_WEIGHTS_URL.endswith(
+            "v1.0/biovil_t_image_model_proj_size_128.pt")
