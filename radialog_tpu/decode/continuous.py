@@ -1,0 +1,198 @@
+"""Continuous batching: many interactive sessions share one decode loop.
+
+The reference serves one conversation at a time (demo.py — a single gradio
+session; each generate() call owns the GPU). BASELINE config 5 / SURVEY §7
+call for the TPU-idiomatic upgrade: a fixed-lane decode batch where sessions
+are admitted and evicted at STEP granularity, so a new request starts decoding
+on the next step instead of waiting for the whole batch to finish, and a
+finished lane immediately frees capacity.
+
+Design (static shapes, compile-once):
+  * ``lanes`` fixed batch rows over one pre-allocated (L, lanes, S, H, D)
+    bf16 cache (models/llama.py KVCache, scan layout).
+  * admit  = batch-1 prefill (prompt bucketed to multiples of 32 -> bounded
+    compile count) whose fresh KV is written into the free lane's rows
+    [0, T); garbage in the bucket tail is never unmasked.
+  * step   = ONE jitted token step for all lanes: per-lane RoPE positions =
+    cur_len, per-lane ragged cache writes (write_pos vector -> the scatter
+    path in models/llama.py:300-305), per-lane mask = decode_bias(cur_len+1).
+    Inactive/done lanes compute garbage that the host ignores; their writes
+    land at their frozen cur_len slot, which stays masked and is overwritten
+    on the lane's next admission.
+  * evict  = host-side: a lane whose session hit EOS / max_new_tokens is
+    freed before the next admit round.
+
+Per-lane numerics are independent (attention/bias/positions are per-row), so
+a session decodes the exact same tokens it would get from a solo
+engine.generate() call — asserted by tests/test_continuous.py against the
+serial reference.
+
+This scheduler serves the bf16 scan-layout cache (the interactive path). The
+int8 token-flat serving cache keeps the shared-slot batch engine: its MXU
+flash-decode kernel indexes one shared slot per step (ops/flash_decode.py) —
+per-lane slots there would need a gather variant of the kernel.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from collections import deque
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import (LlamaConfig, decode_bias, find_img_start,
+                            init_cache, llama_apply, prefill_bias)
+from ..ops.layers import DTypePolicy, FP32
+from .engine import DecodeParams
+
+
+def _bucket32(n: int) -> int:
+    return max(32, ((n + 31) // 32) * 32)
+
+
+@dataclasses.dataclass
+class Session:
+    sid: int
+    prompt_ids: List[int]
+    img_embs: Optional[jax.Array]
+    max_new_tokens: int
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatcher:
+    """Admit/evict interactive sessions into a shared decode step.
+
+    Greedy decoding (the reference eval/serving default, test.py:339-348).
+    """
+
+    def __init__(self, params: Dict, cfg: LlamaConfig, lanes: int = 4,
+                 cache_len: int = 512, dp: DecodeParams = DecodeParams(),
+                 lora: Optional[Dict] = None, policy: DTypePolicy = FP32):
+        if isinstance(params["layers"], (list, tuple)):
+            raise ValueError(
+                "ContinuousBatcher requires the stacked (scan) param layout "
+                "with a bf16 cache; the unrolled int8 serving layout uses "
+                "shared-slot batch decoding (decode/engine.py)")
+        self.params, self.cfg, self.lora, self.policy = params, cfg, lora, policy
+        self.lanes, self.cache_len, self.dp = lanes, cache_len, dp
+        self.cache = init_cache(cfg, lanes, cache_len)
+        self.cur_lens = np.zeros(lanes, np.int32)   # KV rows written per lane
+        self.last_tok = np.zeros(lanes, np.int32)   # token whose KV is pending
+        self.steps = np.zeros(lanes, np.int32)      # generated tokens so far
+        self.lane_session: List[Optional[Session]] = [None] * lanes
+        self.queue: deque[Session] = deque()
+        self.finished: Dict[int, Session] = {}
+        self._ids = itertools.count()
+
+        s_max = cache_len
+
+        @jax.jit
+        def step_fn(cache, last_tok, cur_lens):
+            pos = cur_lens[:, None]
+            bias = decode_bias(cur_lens + 1, s_max)
+            logits, cache = llama_apply(
+                self.params, cfg, last_tok[:, None], pos, bias, cache=cache,
+                write_pos=cur_lens, lora=self.lora, policy=self.policy)
+            return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+
+        @partial(jax.jit, static_argnames=("t",))
+        def prefill_fn(cache, tokens, length, lane, img_embs, t):
+            positions = jnp.arange(t)[None]
+            bias = prefill_bias(length[None], t)
+            img_start = (find_img_start(tokens, cfg.img_token_id)
+                         if img_embs is not None else None)
+            logits, fresh = llama_apply(
+                self.params, cfg, tokens, positions, bias, cache=None,
+                img_embs=img_embs, img_start=img_start, lora=self.lora,
+                policy=self.policy, lengths=length[None])
+            k = jax.lax.dynamic_update_slice(
+                cache.k, fresh.k.astype(cache.k.dtype), (0, lane, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache.v, fresh.v.astype(cache.v.dtype), (0, lane, 0, 0, 0))
+            first = jnp.argmax(logits[0, length - 1], axis=-1).astype(jnp.int32)
+            return type(cache)(k, v), first
+
+        self._step_fn = step_fn
+        self._prefill_fn = prefill_fn
+
+    # ------------------------------------------------------------- interface
+    def submit(self, prompt_ids: List[int],
+               img_embs: Optional[jax.Array] = None,
+               max_new_tokens: Optional[int] = None) -> int:
+        """Queue a request; returns its session id."""
+        sid = next(self._ids)
+        self.queue.append(Session(sid, list(prompt_ids), img_embs,
+                                  max_new_tokens or self.dp.max_new_tokens))
+        return sid
+
+    @property
+    def active_lanes(self) -> int:
+        return sum(s is not None for s in self.lane_session)
+
+    def step(self) -> List[int]:
+        """Admit queued requests into free lanes, run ONE decode step for all
+        active lanes, evict finished sessions. Returns sids finished this
+        step."""
+        self._admit()
+        newly_finished: List[int] = []
+        if self.active_lanes == 0:
+            return newly_finished
+        cache, nxt = self._step_fn(self.cache, jnp.asarray(self.last_tok),
+                                   jnp.asarray(self.cur_lens))
+        self.cache = cache
+        nxt = np.asarray(nxt)
+        for lane, sess in enumerate(self.lane_session):
+            if sess is None:
+                continue
+            # the step wrote last_tok's KV at cur_len and produced the next token
+            self.cur_lens[lane] += 1
+            tok = int(nxt[lane])
+            sess.tokens.append(tok)
+            self.steps[lane] += 1
+            self.last_tok[lane] = tok
+            if tok == self.dp.eos_token_id or self.steps[lane] >= sess.max_new_tokens:
+                sess.done = True
+                self.finished[sess.sid] = sess
+                self.lane_session[lane] = None  # evict: lane free next step
+                newly_finished.append(sess.sid)
+        return newly_finished
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, Session]:
+        """Drive until queue + lanes drain. Returns finished sessions."""
+        for _ in range(max_steps):
+            if not self.queue and self.active_lanes == 0:
+                break
+            self.step()
+        return self.finished
+
+    # -------------------------------------------------------------- internals
+    def _admit(self) -> None:
+        while self.queue and self.active_lanes < self.lanes:
+            sess = self.queue.popleft()
+            lane = self.lane_session.index(None)
+            t = len(sess.prompt_ids)
+            tpad = _bucket32(t)
+            if t + sess.max_new_tokens > self.cache_len:
+                raise ValueError(
+                    f"request needs {t}+{sess.max_new_tokens} slots > "
+                    f"cache_len {self.cache_len}")
+            padded = sess.prompt_ids + [self.cfg.pad_token_id] * (tpad - t)
+            self.cache, first = self._prefill_fn(
+                self.cache, jnp.asarray(padded, jnp.int32)[None],
+                jnp.asarray(t, jnp.int32), jnp.asarray(lane, jnp.int32),
+                sess.img_embs, t=tpad)
+            first = int(first)
+            self.lane_session[lane] = sess
+            self.cur_lens[lane] = t
+            self.steps[lane] = 1
+            self.last_tok[lane] = first
+            sess.tokens.append(first)
+            if first == self.dp.eos_token_id:
+                sess.done = True
+                self.finished[sess.sid] = sess
+                self.lane_session[lane] = None

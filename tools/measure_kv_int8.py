@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Quantify int8-KV greedy-decode divergence vs the bf16 KV cache.
+
+VERDICT r1 asked for an evidence-based quality bound on the kv_int8 serving
+default (the only prior evidence was a >=50% token-agreement floor on a tiny
+random model). This measures greedy token agreement between bf16-KV and
+int8-KV decoding at REALISTIC widths — hidden 4096, 32 heads, head_dim 128,
+prompt ~448, 50 new tokens — over many seeds, holding the int8 W8A8 weights
+fixed so only the cache dtype differs.
+
+Runs on the real TPU (the int8 path needs the Pallas MXU kernel). Depth is
+reduced (default 4 layers) to keep many-seed runs tractable; per-layer KV
+error compounds through depth, so we also sweep depth to check the trend.
+
+NOTE random-weight logits are flatter than trained-model logits (top-1
+margins are smaller), so random-weight agreement is a PESSIMISTIC bound for
+real checkpoints: any flip needs the attention perturbation to cross the
+top-1 margin, and real models have larger margins on most steps.
+
+Usage:  python tools/measure_kv_int8.py [--seeds 8] [--layers 4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, default=8)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--prompt-len", type=int, default=448)
+    p.add_argument("--new-tokens", type=int, default=50)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--vocab", type=int, default=32001)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radialog_tpu.decode.engine import DecodeParams, generate
+    from radialog_tpu.models.llama import LlamaConfig, llama_init
+    from radialog_tpu.ops.quant import quantize_llama_host
+
+    cfg = LlamaConfig(vocab_size=args.vocab, hidden_size=4096,
+                      num_layers=args.layers, num_heads=32, num_kv_heads=32,
+                      intermediate_size=11008)
+    dp = DecodeParams(max_new_tokens=args.new_tokens, eos_token_id=-1)
+    cache_len = args.prompt_len + args.new_tokens + 14  # bucket headroom
+
+    agreements, first_div = [], []
+    for seed in range(args.seeds):
+        params = llama_init(jax.random.PRNGKey(seed), cfg)
+        qp = quantize_llama_host(jax.tree_util.tree_map(np.asarray, params))
+        del params
+        rng = np.random.default_rng(seed)
+        toks = jnp.asarray(rng.integers(3, args.vocab - 2,
+                                        (args.batch, args.prompt_len)))
+        lens = jnp.asarray(rng.integers(args.prompt_len // 2, args.prompt_len,
+                                        args.batch))
+        ref = generate(qp, cfg, toks, lens, dp, cache_len=cache_len,
+                       kv_int8=False)
+        got = generate(qp, cfg, toks, lens, dp, cache_len=cache_len,
+                       kv_int8=True)
+        r = np.asarray(ref.tokens)
+        g = np.asarray(got.tokens)
+        agree = (r == g).mean(axis=1)  # per sequence
+        agreements.extend(agree.tolist())
+        for b in range(args.batch):
+            diffs = np.nonzero(r[b] != g[b])[0]
+            first_div.append(int(diffs[0]) if len(diffs) else args.new_tokens)
+        print(f"seed {seed}: per-seq agreement {np.round(agree, 3).tolist()}")
+
+    agreements = np.asarray(agreements)
+    out = {
+        "layers": args.layers, "seeds": args.seeds, "batch": args.batch,
+        "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
+        "mean_agreement": float(agreements.mean()),
+        "min_agreement": float(agreements.min()),
+        "p10_agreement": float(np.percentile(agreements, 10)),
+        "mean_first_divergence_step": float(np.mean(first_div)),
+        "frac_fully_identical": float((agreements == 1.0).mean()),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
