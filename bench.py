@@ -51,6 +51,48 @@ BATCH = 24                         # 2x the reference eval batch (test.py:279):
 # matching how the bf16 baseline was measured.
 
 
+def build_serving_params(cfg, key):
+    """int8 serving weights at the real shapes (fused qkv / gateup layout of
+    ops/quant.py quantize_llama_host). Constant int8 tiles: the random
+    values don't affect throughput, and on-device randint would transiently
+    allocate 4x in int32. Shared with tools/bench_sweep.py."""
+    import jax.numpy as jnp
+    import jax
+
+    from radialog_tpu.ops.q8_matmul import TILE_BN, PackedQ8, pick_bk
+
+    h, inter, L, V = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
+    kvh = cfg.num_kv_heads * cfg.head_dim
+
+    def qleaf(layers, k_dim, n_dim):
+        bk = pick_bk(k_dim)
+        kp = -(-k_dim // bk) * bk
+        npad = -(-n_dim // TILE_BN) * TILE_BN
+        shape = (kp // bk, npad // TILE_BN, bk, TILE_BN)
+        if layers:
+            shape = (layers,) + shape
+        scale_shape = (layers, npad) if layers else (npad,)
+        return PackedQ8(jnp.full(shape, 3, jnp.int8),
+                        jnp.full(scale_shape, k_dim ** -0.5 / 127.0, jnp.float32),
+                        n_dim)
+
+    return {
+        "embed": jax.random.normal(key, (V, h), jnp.bfloat16) * jnp.bfloat16(0.02),
+        # unrolled serving layout: per-layer weight buffers (zero-copy reads
+        # from the Pallas kernels; see models/llama.py unrolled path)
+        "layers": [{
+            "wqkv": qleaf(0, h, h + 2 * kvh),
+            "wo": qleaf(0, h, h),
+            "gateup": qleaf(0, h, 2 * inter),
+            "down": qleaf(0, inter, h),
+            "input_ln": jnp.ones((h,), jnp.float32),
+            "post_ln": jnp.ones((h,), jnp.float32),
+        } for _ in range(L)],
+        "final_ln": jnp.ones((h,), jnp.float32),
+        "lm_head": qleaf(0, h, V),
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -67,47 +109,12 @@ def main() -> None:
     from radialog_tpu.models.qformer import qformer_init
     from radialog_tpu.ops.layers import BF16, layernorm, layernorm_init
 
-    from radialog_tpu.ops.q8_matmul import TILE_BN, PackedQ8, pick_bk
-
     cfg = VICUNA_7B
     bcfg = Blip2Config()
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
-    # int8 serving weights at the real shapes (fused qkv / gateup layout of
-    # ops/quant.py quantize_llama_host). Constant int8 tiles: the random
-    # values don't affect throughput, and on-device randint would transiently
-    # allocate 4x in int32.
-    h, inter, L, V = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
-    kvh = cfg.num_kv_heads * cfg.head_dim
-
-    def qleaf(layers, k_dim, n_dim):
-        bk = pick_bk(k_dim)
-        kp = -(-k_dim // bk) * bk
-        npad = -(-n_dim // TILE_BN) * TILE_BN
-        shape = (kp // bk, npad // TILE_BN, bk, TILE_BN)
-        if layers:
-            shape = (layers,) + shape
-        scale_shape = (layers, npad) if layers else (npad,)
-        return PackedQ8(jnp.full(shape, 3, jnp.int8),
-                        jnp.full(scale_shape, k_dim ** -0.5 / 127.0, jnp.float32),
-                        n_dim)
-
-    params = {
-        "embed": jax.random.normal(k1, (V, h), jnp.bfloat16) * jnp.bfloat16(0.02),
-        # unrolled serving layout: per-layer weight buffers (zero-copy reads
-        # from the Pallas kernels; see models/llama.py unrolled path)
-        "layers": [{
-            "wqkv": qleaf(0, h, h + 2 * kvh),
-            "wo": qleaf(0, h, h),
-            "gateup": qleaf(0, h, 2 * inter),
-            "down": qleaf(0, inter, h),
-            "input_ln": jnp.ones((h,), jnp.float32),
-            "post_ln": jnp.ones((h,), jnp.float32),
-        } for _ in range(L)],
-        "final_ln": jnp.ones((h,), jnp.float32),
-        "lm_head": qleaf(0, h, V),
-    }
+    params = build_serving_params(cfg, k1)
     lora = lora_init(k2, cfg, dtype=jnp.bfloat16)
     vis_params, vis_state = biovil_t_init(k3, joint_feature_size=bcfg.qformer.encoder_width)
     qf_params = {"qformer": qformer_init(k4, bcfg.qformer),

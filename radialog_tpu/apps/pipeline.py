@@ -24,7 +24,7 @@ import numpy as np
 
 from ..data.tokenization import (WhitespaceTokenizer, load_vicuna_tokenizer,
                                  pad_batch_right)
-from ..decode.engine import DecodeParams, decode_loop, prefill
+from ..decode.engine import DecodeParams, generate_two_phase
 from ..decode.kvcache import bucket_length
 from ..models.bert import BertConfig
 from ..models.biovil_t import biovil_t_apply, biovil_t_init, patch_tokens_for_qformer
@@ -50,21 +50,23 @@ class PipelineConfig:
     bf16: bool = True
     quantize: bool = False                   # int8 W8A8 serving (ops/quant.py)
     kv_int8: Optional[bool] = None           # int8 token-flat KV cache + MXU
-    # flash-decode (ops/flash_decode.py). None -> follow `quantize` on TPU
-    # backends (it needs the unrolled serving params and the Pallas kernel);
-    # explicit False keeps the bf16 cache.
+    # flash-decode (ops/flash_decode.py). EXPLICIT OPT-IN capacity mode:
+    # None/False keep the bf16 cache. Measured greedy-decode divergence vs
+    # the bf16 cache at realistic widths (tools/measure_kv_int8.py: hidden
+    # 4096, 32 heads, prompt 448) is large — greedy outputs start differing
+    # within ~6 steps on random weights — so int8 KV trades output parity
+    # for ~2x cache capacity and must be requested explicitly.
     max_new_tokens: int = 300                # test.py:344
     seed: int = 42
 
     def use_kv_int8(self) -> bool:
-        import jax as _jax
-        if self.kv_int8 is not None:
-            if self.kv_int8 and not self.quantize:
+        if self.kv_int8:
+            if not self.quantize:
                 raise ValueError(
                     "kv_int8=True requires quantize=True: the int8 KV cache "
                     "runs on the unrolled quantize_llama_host serving params")
-            return self.kv_int8
-        return self.quantize and _jax.default_backend() in ("tpu", "axon")
+            return True
+        return False
 
 
 class RaDialogPipeline:
@@ -250,14 +252,15 @@ class RaDialogPipeline:
                                 lora=self.lora, policy=self.policy,
                                 cache_len=cache_len)
         else:
-            cache, last = prefill(self.llama, self.llama_cfg,
-                                  jnp.asarray(tokens), jnp.asarray(lengths),
-                                  cache_len, img_embs=img_embs,
-                                  lora=self.lora, policy=self.policy,
-                                  kv_int8=self.cfg.use_kv_int8())
-            res = decode_loop(self.llama, self.llama_cfg, cache, last,
-                              jnp.asarray(lengths), dp, lora=self.lora,
-                              policy=self.policy, prompt_pad=tokens.shape[1])
+            # two-phase serving: prefill and decode are separate executables
+            # with the cache donated between them (keeps each executable's
+            # HBM peak small so XLA never breaks the in-place cache aliasing
+            # — see decode/engine.py generate_two_phase)
+            res = generate_two_phase(self.llama, self.llama_cfg,
+                                     jnp.asarray(tokens), jnp.asarray(lengths),
+                                     dp, img_embs=img_embs, lora=self.lora,
+                                     policy=self.policy, cache_len=cache_len,
+                                     kv_int8=self.cfg.use_kv_int8())
         gen = np.asarray(res.tokens)
         out = []
         for i, p in enumerate(prompts):

@@ -167,3 +167,44 @@ def generate_jit(params, cfg: LlamaConfig, tokens, lengths,
                  policy: DTypePolicy = FP32, cache_len: int = 1024):
     return generate(params, cfg, tokens, lengths, dp, img_embs=img_embs,
                     lora=lora, policy=policy, cache_len=cache_len)
+
+
+# --------------------------------------------------------------- two-phase
+# Prefill and decode compiled as SEPARATE executables with the KV cache
+# donated across the boundary. Rationale (the round-1 "HBM cliff"): in one
+# fused executable XLA must budget the PEAK across prefill + all decode
+# steps; once that peak nears HBM capacity its rematerialization pass breaks
+# the decode loop's in-place cache aliasing and every step pays full cache
+# copies (~3x step time; .claude/skills/verify documents the observed
+# cliff at ~11GB live + a compile-time OOM at batch 28 that the split
+# avoids). Splitting keeps each executable's peak small: prefill peaks at
+# weights + cache + prompt activations; decode peaks at weights + cache +
+# one token's activations. The cache buffer moves prefill -> decode by
+# donation, never copied. Two dispatches per generate (~0.5ms each over the
+# TPU tunnel) are noise against a 300-step decode.
+prefill_jit = partial(jax.jit, static_argnames=(
+    "cfg", "cache_len", "policy", "kv_int8", "axis_name"))(prefill)
+
+decode_loop_jit = jax.jit(decode_loop, static_argnames=(
+    "cfg", "dp", "policy", "prompt_pad", "axis_name"),
+    donate_argnames=("cache",))
+
+
+def generate_two_phase(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
+                       lengths: jax.Array, dp: DecodeParams = DecodeParams(),
+                       img_embs: Optional[jax.Array] = None,
+                       lora: Optional[Dict] = None,
+                       policy: DTypePolicy = FP32,
+                       cache_len: Optional[int] = None,
+                       kv_int8: bool = False) -> GenerationResult:
+    """generate() with prefill/decode as separate jitted executables and the
+    cache donated between them — the serving configuration (use this over
+    plain generate() whenever the caller is not already inside jit)."""
+    t = tokens.shape[1]
+    if cache_len is None:
+        cache_len = bucket_length(t + dp.max_new_tokens)
+    cache, last = prefill_jit(params, cfg, tokens, lengths, cache_len,
+                              img_embs=img_embs, lora=lora, policy=policy,
+                              kv_int8=kv_int8)
+    return decode_loop_jit(params, cfg, cache, last, lengths, dp, lora=lora,
+                           policy=policy, prompt_pad=t)

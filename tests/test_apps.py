@@ -78,7 +78,8 @@ def test_pipeline_kv_int8_serving():
     assert pipe.cfg.use_kv_int8()
     out = pipe.generate_texts(["USER: hi ASSISTANT:"])
     assert len(out) == 1 and out[0].startswith("USER: hi")
-    # default: kv_int8 follows quantize only on TPU backends
+    # default: bf16 KV cache even when quantized — int8 KV is explicit
+    # opt-in (measured greedy divergence, tools/measure_kv_int8.py)
     assert not PipelineConfig(mock=True, quantize=True).use_kv_int8()
     # explicit kv_int8 without quantize is a config error, not a silent
     # downgrade (int8 KV needs the unrolled quantize_llama_host params)

@@ -1,6 +1,7 @@
 """Train-time augmentation tests (ops/augment.py) — the reference's
 RandomAffine(30, shear=15) + ColorJitter(0.2, 0.2)
 (findings_classifier/chexpert_dataset.py:47-52)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,6 +155,7 @@ class TestStage1RawStep:
     """make_stage1_raw_train_step: frozen trunk inside jit, trainable
     ln_vision, optional on-device augs."""
 
+    @pytest.mark.slow
     def test_step_runs_and_loss_finite(self):
         state, vp, vs, step, _, batch = _raw()
         new_state, metrics = step(state, vp, vs, batch, K)
@@ -171,6 +173,7 @@ class TestStage1RawStep:
         # the visual trunk is NOT in the optimizer tree at all
         assert "visual" not in state.params
 
+    @pytest.mark.slow
     def test_augmented_step_changes_loss(self):
         state, vp, vs, step_plain, step_aug, batch = _raw()
         _, m_plain = step_plain(state, vp, vs, batch, K)

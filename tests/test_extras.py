@@ -1,4 +1,5 @@
 """Tests: Q-Former caption generate, streaming chunks, model summary."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,7 @@ def test_blip2_caption_generate():
     assert not (np.asarray(ids)[:, 1:3] == sep).any()
 
 
+@pytest.mark.slow
 def test_stream_chunks_matches_single_shot():
     cfg = TINY_LLAMA
     params = llama_init(jax.random.PRNGKey(0), cfg)

@@ -34,8 +34,12 @@ def test_int8_kv_generate_close_to_bf16_cache():
     ref = generate(qp, CFG, toks, lens, dp, cache_len=32, kv_int8=False)
     got = generate(qp, CFG, toks, lens, dp, cache_len=32, kv_int8=True)
     agree = (np.asarray(ref.tokens) == np.asarray(got.tokens)).mean()
-    # int8 KV + int8 softmax-weights introduce ~1% attention error; greedy
-    # token agreement on a random tiny model stays high
+    # int8 KV is an explicit OPT-IN capacity mode, not an output-parity mode:
+    # measured at realistic widths (tools/measure_kv_int8.py) greedy decode
+    # diverges from the bf16 cache within a few steps, which is why it is no
+    # longer the quantized-serving default (apps/pipeline.py use_kv_int8).
+    # This floor is a mechanism smoke check (the int8 path decodes sane
+    # tokens from the same cache contents), not a quality gate.
     assert agree >= 0.5, f"greedy agreement {agree}"
     assert got.tokens.shape == ref.tokens.shape
 

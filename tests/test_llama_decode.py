@@ -126,3 +126,25 @@ def test_decode_eos_early_exit():
                   DecodeParams(max_new_tokens=4, eos_token_id=first), cache_len=16)
     assert int(r1.lengths[0]) == 1
     assert (np.asarray(r1.tokens)[0, 1:] == first).all()  # eos-padded
+
+
+def test_two_phase_matches_fused_generate():
+    """generate_two_phase (separate prefill/decode executables, donated
+    cache — the serving configuration, see decode/engine.py) must produce
+    the exact tokens of the single-trace generate() on every cache layout."""
+    from radialog_tpu.decode.engine import generate_two_phase
+    from radialog_tpu.ops.quant import quantize_llama_host
+
+    params = _params()
+    qp = quantize_llama_host(jax.tree_util.tree_map(np.asarray, params))
+    toks = jnp.asarray(RNG.integers(3, 200, (2, 8)))
+    lens = jnp.asarray([8, 5])
+    dp = DecodeParams(max_new_tokens=5, eos_token_id=1)
+    for p, kv8 in ((params, False), (qp, False), (qp, True)):
+        ref = generate(p, CFG, toks, lens, dp, cache_len=32, kv_int8=kv8)
+        got = generate_two_phase(p, CFG, toks, lens, dp, cache_len=32,
+                                 kv_int8=kv8)
+        np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                      np.asarray(got.tokens))
+        np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                      np.asarray(got.lengths))

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +83,7 @@ def test_lm_loss_matches_torch_label_smoothing():
     assert abs(ours - ref) < 1e-5
 
 
+@pytest.mark.slow
 def test_stage1_losses_finite_and_jittable():
     cfg = Blip2Config(qformer=CFG, embed_dim=16, max_txt_len=8)
     params, _ = blip2_init(K, cfg, with_vision=False)

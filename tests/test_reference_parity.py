@@ -92,6 +92,7 @@ def test_biovil_t_single_image_parity(ref_biovil):
     np.testing.assert_allclose(got_tokens, ref_tokens, atol=ATOL, rtol=RTOL)
 
 
+@pytest.mark.slow
 def test_biovil_t_prior_image_pooler_parity(ref_biovil):
     """Prior-image branch: exercises VisionTransformerPooler (sine pos-emb +
     type-emb added to Q/K each block, transformer.py:73-224) — dead code in

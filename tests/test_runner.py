@@ -1,5 +1,6 @@
 """Stage-1 runner tests: epoch mode (sub-epochs + val-best ckpt) and the
 iteration-based RunnerIter-equivalent."""
+import pytest
 import itertools
 
 import jax
@@ -32,6 +33,7 @@ def _setup(tmp_path, max_epoch=1):
     return runner, batch, eval_fn
 
 
+@pytest.mark.slow
 def test_epoch_mode_trains_and_checkpoints(tmp_path):
     runner, batch, eval_fn = _setup(tmp_path)
     state = runner.train(lambda sub: (batch() for _ in range(2)),
@@ -42,6 +44,7 @@ def test_epoch_mode_trains_and_checkpoints(tmp_path):
     assert (tmp_path / "log.txt").read_text().count('"split": "train"') == 2
 
 
+@pytest.mark.slow
 def test_iteration_mode(tmp_path):
     runner, batch, eval_fn = _setup(tmp_path)
     stream = (batch() for _ in itertools.count())

@@ -128,6 +128,7 @@ class TestKappa:
 
 
 class TestStage1Step:
+    @pytest.mark.slow
     def test_losses_finite_and_decrease(self):
         from radialog_tpu.train.steps import make_stage1_train_step
         bcfg = Blip2Config(qformer=TINY_QFORMER, max_txt_len=12)

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Serving-throughput sweep: batch x KV-cache dtype on one TPU chip.
+
+Measures the bench.py pipeline (image -> BioViL-T -> Q-Former -> int8 W8A8
+Vicuna-7B -> 300-token greedy decode) at a given batch and KV mode, printing
+one JSON line per run. Used to pick the headline batch for bench.py and to
+map the HBM capacity cliff (VERDICT r1 weak #5): beyond a live-HBM threshold
+XLA historically stopped aliasing the per-layer cache dynamic_update_slice
+in place and step time 3x'ed.
+
+Usage: python tools/bench_sweep.py --batch 16 [--kv-int8] [--cache-len 448]
+       [--new-tokens 300] [--profile-dir DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--cache-len", type=int, default=448)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--new-tokens", type=int, default=300)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--two-phase", action="store_true",
+                    help="prefill/decode as separate executables with a "
+                         "donated cache (engine.generate_two_phase)")
+    ap.add_argument("--profile-dir", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from bench import build_serving_params  # shared synthetic-weight builder
+    from radialog_tpu.decode.engine import (DecodeParams, generate,
+                                            generate_two_phase)
+    from radialog_tpu.models.biovil_t import (biovil_t_apply, biovil_t_init,
+                                              patch_tokens_for_qformer)
+    from radialog_tpu.models.blip2 import Blip2Config, blip2_forward_image
+    from radialog_tpu.models.llama import VICUNA_7B, lora_init
+    from radialog_tpu.models.qformer import qformer_init
+    from radialog_tpu.ops.layers import BF16, layernorm, layernorm_init
+
+    cfg = VICUNA_7B
+    bcfg = Blip2Config()
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    params = build_serving_params(cfg, k1)
+    lora = lora_init(k2, cfg, dtype=jnp.bfloat16)
+    vis_params, vis_state = biovil_t_init(
+        k3, joint_feature_size=bcfg.qformer.encoder_width)
+    qf_params = {"qformer": qformer_init(k4, bcfg.qformer),
+                 "ln_vision": layernorm_init(bcfg.qformer.encoder_width)}
+    jax.block_until_ready(jax.tree_util.tree_leaves(params))
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((B, 448, 448, 3)), jnp.float32)
+    prompt = rng.integers(3, 30000, (B, args.prompt_len)).astype(np.int32)
+    prompt[:, 4:4 + cfg.num_img_tokens] = cfg.img_token_id
+    tokens = jnp.asarray(prompt)
+    lengths = jnp.full((B,), args.prompt_len, jnp.int32)
+    dp = DecodeParams(max_new_tokens=args.new_tokens, eos_token_id=-1)
+
+    @jax.jit
+    def embed_step(vis_params, vis_state, qf_params, images):
+        out, _ = biovil_t_apply(vis_params, vis_state, images, policy=BF16)
+        patch = patch_tokens_for_qformer(out.projected_patch_embeddings)
+        patch = layernorm(qf_params["ln_vision"], patch)
+        return blip2_forward_image(qf_params, bcfg, patch, policy=BF16)
+
+    @jax.jit
+    def fused_step(vis_params, vis_state, qf_params, params, lora, images,
+                   tokens, lengths):
+        # round-1 headline shape: ONE executable for vision+prefill+decode
+        out, _ = biovil_t_apply(vis_params, vis_state, images, policy=BF16)
+        patch = patch_tokens_for_qformer(out.projected_patch_embeddings)
+        patch = layernorm(qf_params["ln_vision"], patch)
+        embs = blip2_forward_image(qf_params, bcfg, patch, policy=BF16)
+        return generate(params, cfg, tokens, lengths, dp, img_embs=embs,
+                        lora=lora, policy=BF16, cache_len=args.cache_len,
+                        kv_int8=args.kv_int8)
+
+    def report_step(vis_params, vis_state, qf_params, params, lora, images,
+                    tokens, lengths):
+        if args.two_phase:
+            embs = embed_step(vis_params, vis_state, qf_params, images)
+            return generate_two_phase(
+                params, cfg, tokens, lengths, dp, img_embs=embs, lora=lora,
+                policy=BF16, cache_len=args.cache_len, kv_int8=args.kv_int8)
+        return fused_step(vis_params, vis_state, qf_params, params, lora,
+                          images, tokens, lengths)
+
+    res = report_step(vis_params, vis_state, qf_params, params, lora, images,
+                      tokens, lengths)
+    np.asarray(res.tokens)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    t0 = time.time()
+    for _ in range(args.runs):
+        res = report_step(vis_params, vis_state, qf_params, params, lora,
+                          images, tokens, lengths)
+        np.asarray(res.tokens)
+    dt = time.time() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    rps = args.runs * B / dt
+    print(json.dumps({
+        "batch": B, "kv_int8": bool(args.kv_int8),
+        "two_phase": bool(args.two_phase),
+        "cache_len": args.cache_len, "new_tokens": args.new_tokens,
+        "reports_per_sec": round(rps, 4),
+        "ms_per_token": round(dt / args.runs / args.new_tokens * 1000, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

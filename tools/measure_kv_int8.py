@@ -35,18 +35,27 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=8)
     p.add_argument("--layers", type=int, default=4)
-    p.add_argument("--prompt-len", type=int, default=448)
+    # serving-shaped defaults (bench.py): prompt 128 (system + findings +
+    # instruction), decode toward a 448-slot cache, bf16 activations
+    p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--new-tokens", type=int, default=50)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--vocab", type=int, default=32001)
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 activations instead of the bf16 serving policy")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    # the environment pre-imports jax, so the env var alone is too late
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
     from radialog_tpu.decode.engine import DecodeParams, generate
     from radialog_tpu.models.llama import LlamaConfig, llama_init
+    from radialog_tpu.ops.layers import BF16, FP32
     from radialog_tpu.ops.quant import quantize_llama_host
 
     cfg = LlamaConfig(vocab_size=args.vocab, hidden_size=4096,
@@ -54,6 +63,19 @@ def main():
                       intermediate_size=11008)
     dp = DecodeParams(max_new_tokens=args.new_tokens, eos_token_id=-1)
     cache_len = args.prompt_len + args.new_tokens + 14  # bucket headroom
+    policy = FP32 if args.fp32 else BF16
+
+    # jit per KV mode (eager generate would dispatch each op over the TPU
+    # tunnel individually — minutes per seed); shapes are seed-invariant so
+    # both compile exactly once
+    gen_bf16 = jax.jit(lambda p, t, l: generate(p, cfg, t, l, dp,
+                                                cache_len=cache_len,
+                                                policy=policy,
+                                                kv_int8=False))
+    gen_int8 = jax.jit(lambda p, t, l: generate(p, cfg, t, l, dp,
+                                                cache_len=cache_len,
+                                                policy=policy,
+                                                kv_int8=True))
 
     agreements, first_div = [], []
     for seed in range(args.seeds):
@@ -65,10 +87,8 @@ def main():
                                         (args.batch, args.prompt_len)))
         lens = jnp.asarray(rng.integers(args.prompt_len // 2, args.prompt_len,
                                         args.batch))
-        ref = generate(qp, cfg, toks, lens, dp, cache_len=cache_len,
-                       kv_int8=False)
-        got = generate(qp, cfg, toks, lens, dp, cache_len=cache_len,
-                       kv_int8=True)
+        ref = gen_bf16(qp, toks, lens)
+        got = gen_int8(qp, toks, lens)
         r = np.asarray(ref.tokens)
         g = np.asarray(got.tokens)
         agree = (r == g).mean(axis=1)  # per sequence
