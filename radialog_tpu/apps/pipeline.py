@@ -24,7 +24,7 @@ import numpy as np
 
 from ..data.tokenization import (WhitespaceTokenizer, load_vicuna_tokenizer,
                                  pad_batch_right)
-from ..decode.engine import DecodeParams, generate_two_phase
+from ..decode.engine import DecodeParams, generate_fused_jit
 from ..decode.kvcache import bucket_length
 from ..models.bert import BertConfig
 from ..models.biovil_t import biovil_t_apply, biovil_t_init, patch_tokens_for_qformer
@@ -252,11 +252,14 @@ class RaDialogPipeline:
                                 lora=self.lora, policy=self.policy,
                                 cache_len=cache_len)
         else:
-            # two-phase serving: prefill and decode are separate executables
-            # with the cache donated between them (keeps each executable's
-            # HBM peak small so XLA never breaks the in-place cache aliasing
-            # — see decode/engine.py generate_two_phase)
-            res = generate_two_phase(self.llama, self.llama_cfg,
+            # fused serving: prefill + decode in ONE executable so the cache
+            # is born inside the program and the decode while_loop updates it
+            # in place. Measured on v5e (tools/bench_sweep.py): the split
+            # two-phase variant allocates a full extra cache of program temp
+            # — XLA double-buffers the loop carry against the donated cache
+            # argument — and OOMs exactly the large-batch configs it was
+            # meant to unlock (see decode/engine.py generate_two_phase).
+            res = generate_fused_jit(self.llama, self.llama_cfg,
                                      jnp.asarray(tokens), jnp.asarray(lengths),
                                      dp, img_embs=img_embs, lora=self.lora,
                                      policy=self.policy, cache_len=cache_len,

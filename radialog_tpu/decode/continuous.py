@@ -109,12 +109,13 @@ class ContinuousBatcher:
             logits, fresh = llama_apply(
                 self.params, cfg, tokens, positions, bias, cache=None,
                 img_embs=img_embs, img_start=img_start, lora=self.lora,
-                policy=self.policy, lengths=length[None])
+                policy=self.policy, lengths=length[None],
+                last_pos=length[None] - 1)
             k = jax.lax.dynamic_update_slice(
                 cache.k, fresh.k.astype(cache.k.dtype), (0, lane, 0, 0, 0))
             v = jax.lax.dynamic_update_slice(
                 cache.v, fresh.v.astype(cache.v.dtype), (0, lane, 0, 0, 0))
-            first = jnp.argmax(logits[0, length - 1], axis=-1).astype(jnp.int32)
+            first = jnp.argmax(logits[0, 0], axis=-1).astype(jnp.int32)
             return type(cache)(k, v), first
 
         self._step_fn = step_fn

@@ -68,14 +68,17 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     positions = jnp.arange(t)[None, :].repeat(b, 0)
     bias = prefill_bias(lengths, t)
     img_start = find_img_start(tokens, cfg.img_token_id) if img_embs is not None else None
+    # last_pos: the vocab projection runs only on each sequence's final
+    # prompt position — projecting all T positions materializes a (B,T,V)
+    # f32 buffer (459MB at batch 28) and pays T x the lm_head MXU work
     logits, fresh = llama_apply(params, cfg, tokens, positions, bias,
                                 cache=None, img_embs=img_embs,
                                 img_start=img_start, lora=lora, policy=policy,
-                                lengths=lengths, axis_name=axis_name)
+                                lengths=lengths, axis_name=axis_name,
+                                last_pos=lengths - 1)
     cache = install_prefill(init_cache(cfg, b, cache_len, quantized=kv_int8),
                             fresh)
-    last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
-    return cache, last
+    return cache, logits[:, 0]
 
 
 def _select_token(logits: jax.Array, dp: DecodeParams, key) -> jax.Array:
@@ -97,6 +100,25 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
     XLA) while RoPE positions and attention masks stay per-sequence — the
     pad gap between len_i and prompt_pad is masked (decode_bias_static_slot).
     """
+    res, _ = _decode_loop_with_cache(params, cfg, cache, first_logits,
+                                     prompt_lengths, dp, lora=lora,
+                                     policy=policy, prompt_pad=prompt_pad,
+                                     axis_name=axis_name)
+    return res
+
+
+def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
+                            first_logits: jax.Array, prompt_lengths: jax.Array,
+                            dp: DecodeParams, lora: Optional[Dict] = None,
+                            policy: DTypePolicy = FP32,
+                            prompt_pad: Optional[int] = None,
+                            axis_name: Optional[str] = None):
+    """decode_loop returning (result, final_cache). The cache output is what
+    makes the two-phase donation real: XLA input-output aliasing needs an
+    output buffer matching the donated input, otherwise the donation is
+    silently dropped ("donated buffers were not usable"), the while_loop
+    carry copies the whole cache once at loop entry, and the transient
+    2x-cache peak OOMs the large-batch serving configs."""
     b = first_logits.shape[0]
     s_max = cache.max_len
     max_new = dp.max_new_tokens
@@ -138,7 +160,7 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
 
     eos_hit = out == dp.eos_token_id
     gen_len = jnp.where(eos_hit.any(1), jnp.argmax(eos_hit, 1) + 1, max_new)
-    return GenerationResult(out, gen_len, prompt_lengths)
+    return GenerationResult(out, gen_len, prompt_lengths), cache
 
 
 def generate(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
@@ -161,12 +183,23 @@ def generate(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                        policy=policy, prompt_pad=t, axis_name=axis_name)
 
 
-@partial(jax.jit, static_argnames=("cfg", "dp", "cache_len", "policy"))
+@partial(jax.jit, static_argnames=("cfg", "dp", "cache_len", "policy",
+                                   "kv_int8"))
 def generate_jit(params, cfg: LlamaConfig, tokens, lengths,
                  dp: DecodeParams, img_embs=None, lora=None,
-                 policy: DTypePolicy = FP32, cache_len: int = 1024):
+                 policy: DTypePolicy = FP32, cache_len: int = 1024,
+                 kv_int8: bool = False):
+    """Fused prefill+decode as ONE jitted executable — the production
+    serving shape: the KV cache is created inside the program, so the decode
+    while_loop's dynamic_update_slice aliases it in place with no argument
+    copy (cf. generate_two_phase's measured double-buffering)."""
     return generate(params, cfg, tokens, lengths, dp, img_embs=img_embs,
-                    lora=lora, policy=policy, cache_len=cache_len)
+                    lora=lora, policy=policy, cache_len=cache_len,
+                    kv_int8=kv_int8)
+
+
+# serving-path alias: the name the pipeline uses
+generate_fused_jit = generate_jit
 
 
 # --------------------------------------------------------------- two-phase
@@ -185,7 +218,11 @@ def generate_jit(params, cfg: LlamaConfig, tokens, lengths,
 prefill_jit = partial(jax.jit, static_argnames=(
     "cfg", "cache_len", "policy", "kv_int8", "axis_name"))(prefill)
 
-decode_loop_jit = jax.jit(decode_loop, static_argnames=(
+# Jitted decode returning the final cache: the cache OUTPUT is required for
+# the donation to hold (XLA input-output aliasing) — donating without a
+# matching output is silently dropped and the while_loop carry copies the
+# whole cache at loop entry (transient 2x-cache peak, OOM at batch 24 bf16).
+decode_loop_jit = jax.jit(_decode_loop_with_cache, static_argnames=(
     "cfg", "dp", "policy", "prompt_pad", "axis_name"),
     donate_argnames=("cache",))
 
@@ -198,13 +235,29 @@ def generate_two_phase(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                        cache_len: Optional[int] = None,
                        kv_int8: bool = False) -> GenerationResult:
     """generate() with prefill/decode as separate jitted executables and the
-    cache donated between them — the serving configuration (use this over
-    plain generate() whenever the caller is not already inside jit)."""
+    cache donated between them.
+
+    NOT the production serving path. Measured on one v5e
+    (tools/bench_sweep.py --two-phase): although the donated cache does
+    alias the decode output ("Output size 5.25G; shares 5.25G with
+    arguments"), XLA still double-buffers the decode while_loop carry
+    against the donated ARGUMENT — the compiled program allocates a full
+    extra cache of HLO temp, so the split costs one cache more than the
+    fused executable and OOMs exactly the large-batch configs it was meant
+    to unlock (bf16 b24: 17.02G > 15.75G at compile; int8 b24: runtime
+    ResourceExhausted). The fused generate_jit keeps the cache internal to
+    one program, where the loop updates it in place with no copy. Kept for
+    callers that need prefill and decode dispatched separately (e.g.
+    prefix-cached sessions reuse prefill_jit/decode_loop_jit directly)."""
     t = tokens.shape[1]
     if cache_len is None:
         cache_len = bucket_length(t + dp.max_new_tokens)
     cache, last = prefill_jit(params, cfg, tokens, lengths, cache_len,
                               img_embs=img_embs, lora=lora, policy=policy,
                               kv_int8=kv_int8)
-    return decode_loop_jit(params, cfg, cache, last, lengths, dp, lora=lora,
-                           policy=policy, prompt_pad=t)
+    res, final_cache = decode_loop_jit(params, cfg, cache, last, lengths, dp,
+                                       lora=lora, policy=policy, prompt_pad=t)
+    # the donated-in cache came back as an aliased output; drop our handle so
+    # the buffer frees as soon as the result is consumed
+    del final_cache
+    return res

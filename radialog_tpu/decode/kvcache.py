@@ -27,17 +27,30 @@ def install_prefill(cache: KVCache, fresh: KVCache) -> KVCache:
     quantizing on the way when the cache is int8."""
     if cache.quantized:
         from ..models.llama import quantize_kv
-        k8, ks = quantize_kv(fresh.k)
-        v8, vs = quantize_kv(fresh.v)
-        # token-flat int8 layout: (L,B,T,H,D) -> (L,B,T,H*D)
-        l, b, t = k8.shape[:3]
-        k8 = k8.reshape(l, b, t, -1)
-        v8 = v8.reshape(l, b, t, -1)
-        return KVCache(
-            jax.lax.dynamic_update_slice(cache.k, k8, (0, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(cache.v, v8, (0, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(cache.k_scale, ks, (0, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(cache.v_scale, vs, (0, 0, 0, 0)))
+
+        # Quantize LAYER BY LAYER under a scan: quantize_kv over the whole
+        # stacked (L,B,T,H,D) fresh KV materializes two full-size f32 temps
+        # (the astype + the div) — 2x1.75G at serving shapes, which is what
+        # OOM'ed the int8 batch-28 config by 59MB (v5e compile dump,
+        # tools/bench_sweep.py --mem). Per-layer the temp is (B,T,H,D) f32
+        # (~56MB) and the cache update aliases in place on the scan carry.
+        def body(c, xs):
+            i, k_l, v_l = xs                       # (B,T,H,D) one layer
+            k8, ks = quantize_kv(k_l)
+            v8, vs = quantize_kv(v_l)
+            b, t = k8.shape[:2]
+            k8 = k8.reshape(b, t, -1)              # token-flat (B,T,H*D)
+            v8 = v8.reshape(b, t, -1)
+            return KVCache(
+                jax.lax.dynamic_update_slice(c.k, k8[None], (i, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(c.v, v8[None], (i, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(c.k_scale, ks[None], (i, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(c.v_scale, vs[None], (i, 0, 0, 0))), None
+
+        num_layers = fresh.k.shape[0]
+        cache, _ = jax.lax.scan(
+            body, cache, (jnp.arange(num_layers), fresh.k, fresh.v))
+        return cache
     k = jax.lax.dynamic_update_slice(cache.k, fresh.k.astype(cache.k.dtype),
                                      (0, 0, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(cache.v, fresh.v.astype(cache.v.dtype),

@@ -79,8 +79,9 @@ class InteractiveSession:
         logits, self.cache = llama_apply(
             self.params, self.cfg, tokens, positions, bias, cache=self.cache,
             write_pos=self.cur_len, img_embs=img_embs, img_start=img_start,
-            lora=self.lora, policy=self.policy)
-        self._last_logits = logits[:, tn - 1]
+            lora=self.lora, policy=self.policy,
+            last_pos=jnp.asarray([tn - 1]))
+        self._last_logits = logits[:, 0]
         self.cur_len += tn
         self.token_ids.extend(ids)
 
@@ -115,38 +116,9 @@ def decode_loop_with_cache(params, cfg, cache, first_logits, prompt_lengths,
                            dp, lora=None, policy=FP32, prompt_pad=None):
     """decode_loop variant that also returns the final cache (the engine's
     decode_loop drops it; sessions need it to continue the conversation)."""
-    from .engine import _select_token
+    from .engine import _decode_loop_with_cache
 
-    b = first_logits.shape[0]
-    s_max = cache.max_len
-    max_new = dp.max_new_tokens
-    key0 = jax.random.PRNGKey(dp.seed)
-    from ..models.llama import decode_bias_static_slot
-
-    tok0 = _select_token(first_logits, dp, key0)
-    out0 = jnp.full((b, max_new), dp.eos_token_id, jnp.int32)
-    out0 = out0.at[:, 0].set(tok0.astype(jnp.int32))
-    done0 = tok0 == dp.eos_token_id
-
-    def cond(st):
-        return (st[0] < max_new) & ~st[3].all()
-
-    def body(st):
-        step, cache, out, done, last_tok, key = st
-        pos = (prompt_lengths + step)[:, None]
-        bias = decode_bias_static_slot(prompt_lengths, prompt_pad, step, s_max)
-        logits, cache = llama_apply(params, cfg, last_tok[:, None], pos, bias,
-                                    cache=cache, write_pos=prompt_pad + step,
-                                    lora=lora, policy=policy)
-        key, sub = jax.random.split(key)
-        nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
-        nxt = jnp.where(done, dp.eos_token_id, nxt)
-        out = out.at[:, step + 1].set(nxt)
-        done = done | (nxt == dp.eos_token_id)
-        return (step + 1, cache, out, done, nxt, key)
-
-    init = (jnp.asarray(0), cache, out0, done0, tok0.astype(jnp.int32), key0)
-    _, cache, out, done, _, _ = jax.lax.while_loop(cond, body, init)
-    eos_hit = out == dp.eos_token_id
-    gen_len = jnp.where(eos_hit.any(1), jnp.argmax(eos_hit, 1) + 1, max_new)
-    return out, gen_len, cache
+    res, cache = _decode_loop_with_cache(params, cfg, cache, first_logits,
+                                         prompt_lengths, dp, lora=lora,
+                                         policy=policy, prompt_pad=prompt_pad)
+    return res.tokens, res.lengths, cache

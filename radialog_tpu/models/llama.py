@@ -216,6 +216,29 @@ def find_img_start(tokens: jax.Array, img_token_id: int) -> jax.Array:
     return jnp.where(any_img, first, -1)
 
 
+def qkv_proj(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
+             x: jax.Array, policy: DTypePolicy):
+    """Q/K/V projections for one layer, handling both weight layouts: the
+    fused "wqkv" packed matmul of the quantized serving params
+    (quantize_llama_host) with LoRA deltas added to the slices, and the
+    separate wq/wk/wv of the stacked training layout. Returns head-split
+    (B,T,nh,hd) / (B,T,nkv,hd) / (B,T,nkv,hd), pre-RoPE."""
+    b, t, _ = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if "wqkv" in lp:
+        qkv = linear(lp["wqkv"], x, policy)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        if lora_layer is not None:
+            q = q + _lora_delta(lora_layer, "wq", x, lora_scale, policy)
+            k = k + _lora_delta(lora_layer, "wk", x, lora_scale, policy)
+            v = v + _lora_delta(lora_layer, "wv", x, lora_scale, policy)
+        return (q.reshape(b, t, nh, hd), k.reshape(b, t, nkv, hd),
+                v.reshape(b, t, nkv, hd))
+    return (_proj(lp, lora_layer, "wq", x, lora_scale, policy).reshape(b, t, nh, hd),
+            _proj(lp, lora_layer, "wk", x, lora_scale, policy).reshape(b, t, nkv, hd),
+            _proj(lp, lora_layer, "wv", x, lora_scale, policy).reshape(b, t, nkv, hd))
+
+
 def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      x: jax.Array, positions: jax.Array,
                      rope: Tuple[jax.Array, jax.Array],
@@ -232,22 +255,7 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
     serving path."""
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if "wqkv" in lp:
-        # fused serving path (quantize_llama_host): one packed matmul for
-        # q|k|v, LoRA deltas added to the slices
-        qkv = linear(lp["wqkv"], x, policy)
-        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
-        if lora_layer is not None:
-            q = q + _lora_delta(lora_layer, "wq", x, lora_scale, policy)
-            k = k + _lora_delta(lora_layer, "wk", x, lora_scale, policy)
-            v = v + _lora_delta(lora_layer, "wv", x, lora_scale, policy)
-        q = q.reshape(b, t, nh, hd)
-        k = k.reshape(b, t, nkv, hd)
-        v = v.reshape(b, t, nkv, hd)
-    else:
-        q = _proj(lp, lora_layer, "wq", x, lora_scale, policy).reshape(b, t, nh, hd)
-        k = _proj(lp, lora_layer, "wk", x, lora_scale, policy).reshape(b, t, nkv, hd)
-        v = _proj(lp, lora_layer, "wv", x, lora_scale, policy).reshape(b, t, nkv, hd)
+    q, k, v = qkv_proj(lp, lora_layer, lora_scale, cfg, x, policy)
     cos, sin = rope
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
@@ -410,8 +418,12 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 remat: bool = False,
                 lengths: Optional[jax.Array] = None,
                 slot_info=None,
-                axis_name: Optional[str] = None):
+                axis_name: Optional[str] = None,
+                last_pos: Optional[jax.Array] = None):
     """Core transformer. Returns (logits, new_cache).
+    last_pos: (B,) int — when given, logits are computed ONLY at these
+    positions (returned shape (B, 1, V)); used by prefill to skip the
+    (B, T, V) full-prompt vocab projection.
     axis_name: tensor-parallel mesh axis when running per-shard under
     shard_map (parallel/tp_serving.py) — attention/MLP outputs are partial
     sums over the sharded head/ffn dims and get psum'd before the residual
@@ -461,8 +473,7 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             x = x + _psum_if(attn_out, axis_name)
             h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
             x = x + _psum_if(_mlp(lp, h, policy), axis_name)
-        x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
-        logits = linear(params["lm_head"], x, policy).astype(jnp.float32)
+        logits = _final_logits(params, cfg, x, policy, last_pos)
         if cache is not None:
             return logits, cur_cache
         return logits, KVCache(jnp.stack(fresh_k), jnp.stack(fresh_v))
@@ -514,10 +525,24 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         x, (new_k, new_v) = jax.lax.scan(
             body, x, (params["layers"], lora_layers))
 
-    x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
-    logits = linear(params["lm_head"], x, policy).astype(jnp.float32)
+    logits = _final_logits(params, cfg, x, policy, last_pos)
     # cache given: updated full cache. cache None: fresh per-layer prefill KV.
     return logits, KVCache(new_k, new_v)
+
+
+def _final_logits(params: Dict, cfg: LlamaConfig, x: jax.Array,
+                  policy: DTypePolicy, last_pos) -> jax.Array:
+    """final_ln + lm_head. With ``last_pos`` (B,) int — the prefill case,
+    where only each sequence's last prompt position feeds the decode loop —
+    the hidden states are gathered to (B,1,H) BEFORE the vocab projection:
+    projecting all T positions materializes a (B,T,V) f32 logits buffer
+    (459MB at batch 28, prompt 128, the single biggest prefill temp) and
+    pays T x the lm_head MXU work for rows that are thrown away."""
+    x = rmsnorm(params["final_ln"], x, cfg.rms_eps)
+    if last_pos is not None:
+        b = x.shape[0]
+        x = x[jnp.arange(b)[:, None], last_pos[:, None].astype(jnp.int32)]
+    return linear(params["lm_head"], x, policy).astype(jnp.float32)
 
 
 # ------------------------------------------------------------------ mask helpers

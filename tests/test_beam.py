@@ -63,3 +63,37 @@ def test_beam_eos_freezing():
     got = np.asarray(r1.tokens)[0]
     if got[0] == first:  # the eos beam won
         assert (got[1:] == first).all()
+
+
+def test_beam1_equals_greedy_unrolled_quantized():
+    """The split-cache beam's python layer loop (unrolled serving layout,
+    bf16 KV) must agree with the engine's greedy decode on the same
+    quantized params."""
+    from radialog_tpu.ops.quant import quantize_llama_host
+
+    host = jax.tree_util.tree_map(
+        np.asarray, llama_init(jax.random.PRNGKey(2), CFG))
+    qp = quantize_llama_host(host)
+    toks = jnp.asarray(RNG.integers(3, 200, (2, 6)))
+    lens = jnp.asarray([6, 4])
+    dp = DecodeParams(max_new_tokens=4, eos_token_id=1)
+    greedy = generate(qp, CFG, toks, lens, dp, cache_len=16)
+    beam1 = generate_beam(qp, CFG, toks, lens, dp, num_beams=1, cache_len=16)
+    np.testing.assert_array_equal(np.asarray(greedy.tokens),
+                                  np.asarray(beam1.tokens))
+
+
+def test_beam_rejects_quantized_cache():
+    """Beam search is the bf16-KV quality path; an int8 prompt cache must be
+    rejected loudly, not silently dequantized."""
+    import pytest
+
+    from radialog_tpu.decode.beam import beam_decode
+    from radialog_tpu.models.llama import init_cache
+
+    p = llama_init(jax.random.PRNGKey(0), CFG)
+    cache = init_cache(CFG, 1, 16, quantized=True)
+    logits = jnp.zeros((1, CFG.vocab_size))
+    with pytest.raises(ValueError, match="bf16 KV"):
+        beam_decode(p, CFG, cache, logits, jnp.asarray([4]), 8,
+                    DecodeParams(max_new_tokens=2), num_beams=2)

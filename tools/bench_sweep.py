@@ -36,6 +36,10 @@ def main() -> None:
                     help="prefill/decode as separate executables with a "
                          "donated cache (engine.generate_two_phase)")
     ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--mem", action="store_true",
+                    help="don't run: AOT-compile the serving step and print "
+                         "its HBM budget (argument/output/temp bytes) — maps "
+                         "where the capacity cliff comes from")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +107,25 @@ def main() -> None:
                 policy=BF16, cache_len=args.cache_len, kv_int8=args.kv_int8)
         return fused_step(vis_params, vis_state, qf_params, params, lora,
                           images, tokens, lengths)
+
+    if args.mem:
+        lowered = fused_step.lower(vis_params, vis_state, qf_params, params,
+                                   lora, images, tokens, lengths)
+        compiled = lowered.compile()
+        m = compiled.memory_analysis()
+        print(json.dumps({
+            "batch": B, "kv_int8": bool(args.kv_int8),
+            "cache_len": args.cache_len,
+            "argument_gib": round(m.argument_size_in_bytes / 2**30, 3),
+            "output_gib": round(m.output_size_in_bytes / 2**30, 3),
+            "temp_gib": round(m.temp_size_in_bytes / 2**30, 3),
+            "alias_gib": round(m.alias_size_in_bytes / 2**30, 3),
+            "peak_gib": round((m.argument_size_in_bytes
+                               + m.output_size_in_bytes
+                               + m.temp_size_in_bytes
+                               - m.alias_size_in_bytes) / 2**30, 3),
+        }))
+        return
 
     res = report_step(vis_params, vis_state, qf_params, params, lora, images,
                       tokens, lengths)
