@@ -5,9 +5,18 @@ TPU chip (BASELINE.json north star: reports/sec/chip).
 Pipeline measured (the test.py eval path of the reference, full model sizes):
   448x448 image -> BioViL-T (ResNet-50 + projector, J=1408)
                -> Q-Former (BERT-base + cross-attn, 32 queries)
-               -> <IMG>-spliced Vicuna-7B (int8 weights) prefill
-               -> greedy decode over the int8 MXU flash-decode KV cache,
-                  300 new tokens (test.py:344)
+               -> <IMG>-spliced Vicuna-7B (int8 W8A8 weights) prefill
+               -> greedy decode over the bf16 KV cache, 300 new tokens
+                  (test.py:344)
+
+The measured configuration IS the serving default (apps/pipeline.py):
+fused prefill+decode executable, int8 Pallas weight matmuls, bf16 KV cache,
+batch 24, cache 448. The int8-KV flash-decode cache is the opt-in capacity
+mode (kv_int8=True): same harness measures 4.91 reports/s at batch 24
+(tools/bench_sweep.py --kv-int8), but its greedy decode diverges from the
+bf16 cache within ~6 steps on random weights (tools/measure_kv_int8.py),
+so it is not the default and therefore not the headline. Full batch x
+kv-dtype sweep + the HBM aliasing-cliff analysis: docs/PERF.md.
 
 vs_baseline is measured against the reference configuration's estimated GPU
 throughput: HF greedy generate, fp16 Vicuna-7B, batch 12, max_new_tokens 300
@@ -22,10 +31,10 @@ weights re-read per token plus growing KV reads and per-token Python/launch
 overhead). Batch 12 / (300 tok / [8..12] tok/s) = 0.32-0.48 reports/s;
 widening for hardware variance (A6000/A100 spread) gives a defensible
 bracket of [0.27, 0.60] reports/s. A measured value of V reports/s
-therefore implies vs_baseline in [V/0.60, V/0.27] — e.g. the round-1
-4.85 reports/s is 8.1x at worst, 18x at best, 12.1x at the 0.40 point
-estimate. The JSON line reports the point estimate; this bracket is the
-honesty bound on it.
+therefore implies vs_baseline in [V/0.60, V/0.27] — e.g. 4.27 reports/s
+is 7.1x at worst, 15.8x at best, 10.7x at the 0.40 point estimate. The
+JSON line reports the point estimate; this bracket is the honesty bound
+on it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -41,11 +50,11 @@ MAX_NEW_TOKENS = 300               # test.py:344
 PROMPT_LEN = 128                   # system + findings + instruction, typical
 BATCH = 24                         # 2x the reference eval batch (test.py:279):
 # the serving path stores the 7B weights as pre-tiled int8 (ops/q8_matmul.py
-# W8A8 Pallas kernel, ~6.9GB) AND the KV cache as token-flat int8 with
-# per-token scales (ops/flash_decode.py MXU kernel, ~3.2GB at batch 24) —
-# both fit one 16GB v5e with headroom. Measured batch sweep on v5e (cache
-# 448): b12 2.87, b16 3.62, b20 4.22, b24 4.85 reports/s; b>24 crosses the
-# HBM capacity cliff (XLA loses in-place cache aliasing and step time 3x).
+# W8A8 Pallas kernel, ~6.9GB) plus the bf16 KV cache (~5.6GB at batch 24,
+# cache 448) — one 16GB v5e, and the single-chip optimum: batch 28 bf16
+# OOMs at runtime, and every config past ~10.5GB of live decode state
+# crosses the aliasing cliff where XLA stops updating the cache in place
+# and step time ~3.7x's (measured map in docs/PERF.md).
 # Weight VALUES here are synthetic (randomly init'd / constant tiles) — the
 # metric measures the serving engine's throughput at the real model shapes,
 # matching how the bf16 baseline was measured.
@@ -129,19 +138,22 @@ def main() -> None:
     lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
     dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1)  # full-length
 
-    cache_len = 448  # >= PROMPT_LEN + MAX_NEW_TOKENS; tight (512 would waste
-    # 0.5GB of int8 cache and cross the batch-24 HBM capacity cliff)
+    cache_len = 448  # >= PROMPT_LEN + MAX_NEW_TOKENS; tight (512 would add
+    # 0.8GB of bf16 cache and cross the batch-24 aliasing cliff)
 
     @jax.jit
     def report_step(vis_params, vis_state, qf_params, params, lora, images,
                     tokens, lengths):
+        # ONE fused executable (vision + prefill + decode): the cache is
+        # born inside the program so the decode loop aliases it in place —
+        # the serving default shape (apps/pipeline.py, docs/PERF.md)
         out, _ = biovil_t_apply(vis_params, vis_state, images, policy=BF16)
         patch = patch_tokens_for_qformer(out.projected_patch_embeddings)
         patch = layernorm(qf_params["ln_vision"], patch)
         embs = blip2_forward_image(qf_params, bcfg, patch, policy=BF16)
         return generate(params, cfg, tokens, lengths, dp, img_embs=embs,
                         lora=lora, policy=BF16, cache_len=cache_len,
-                        kv_int8=True)
+                        kv_int8=False)
 
     # warmup / compile
     res = report_step(vis_params, vis_state, qf_params, params, lora, images,
@@ -161,7 +173,7 @@ def main() -> None:
         "metric": "reports_per_sec_per_chip",
         "value": round(reports_per_sec, 4),
         "unit": ("reports/s (image->300-token report e2e, Vicuna-7B shapes, "
-                 "int8 W8A8 + int8-KV MXU flash-decode Pallas serving, "
+                 "int8 W8A8 Pallas weights + bf16 KV — the serving default — "
                  "batch 24)"),
         "vs_baseline": round(reports_per_sec / REFERENCE_REPORTS_PER_SEC, 3),
     }))

@@ -162,6 +162,7 @@ class TestStage1RawStep:
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
 
+    @pytest.mark.slow
     def test_frozen_trunk_but_trainable_ln_vision(self):
         state, vp, vs, step, _, batch = _raw()
         new_state, _ = step(state, vp, vs, batch, K)

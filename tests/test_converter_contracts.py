@@ -80,6 +80,7 @@ def _biovil_state_dict(j=32):
     return sd
 
 
+@pytest.mark.slow
 def test_biovil_converter_drives_forward():
     sd = _biovil_state_dict(j=32)
     params, state = convert_biovil_t(sd)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radialog_tpu.decode.engine import DecodeParams, generate, prefill
 from radialog_tpu.models.llama import (TINY_LLAMA, find_img_start, llama_apply,
@@ -128,6 +129,7 @@ def test_decode_eos_early_exit():
     assert (np.asarray(r1.tokens)[0, 1:] == first).all()  # eos-padded
 
 
+@pytest.mark.slow
 def test_two_phase_matches_fused_generate():
     """generate_two_phase (separate prefill/decode executables, donated
     cache — the serving configuration, see decode/engine.py) must produce

@@ -113,6 +113,7 @@ def test_biovil_t_prior_image_pooler_parity(ref_biovil):
 
 
 # -------------------------------------------------------------- (d) chexpert
+@pytest.mark.slow
 def test_chexpert_classifier_parity():
     from radialog_tpu.models.chexpert import chexpert_classifier_apply
     from radialog_tpu.utils.hf_weights import convert_chexpert_classifier

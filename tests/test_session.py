@@ -3,6 +3,7 @@ must match monolithic full-conversation re-prefill exactly (greedy)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radialog_tpu.decode.engine import DecodeParams, generate
 from radialog_tpu.decode.session import InteractiveSession
@@ -38,6 +39,7 @@ def test_two_turn_matches_monolithic():
     assert g2 == _monolithic(params, hist, dp)
 
 
+@pytest.mark.slow
 def test_three_turns_with_image_and_lora():
     params = llama_init(jax.random.PRNGKey(2), CFG)
     lora = lora_init(jax.random.PRNGKey(3), CFG)
