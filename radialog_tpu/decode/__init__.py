@@ -3,4 +3,4 @@ from .engine import (DecodeParams, GenerationResult, decode_loop, generate,
 from .kvcache import bucket_length, install_prefill
 from .beam import beam_decode, generate_beam
 from .session import InteractiveSession
-from .continuous import ContinuousBatcher, Session
+from .continuous import ContinuousBatcher, RingBatcher, Session

@@ -27,10 +27,14 @@ a session decodes the exact same tokens it would get from a solo
 engine.generate() call — asserted by tests/test_continuous.py against the
 serial reference.
 
-This scheduler serves the bf16 scan-layout cache (the interactive path). The
-int8 token-flat serving cache keeps the shared-slot batch engine: its MXU
-flash-decode kernel indexes one shared slot per step (ops/flash_decode.py) —
-per-lane slots there would need a gather variant of the kernel.
+ContinuousBatcher serves the bf16 scan-layout params (per-lane slot =
+token position; ragged scatter writes). For the UNROLLED int8 serving
+weights — whose cache writes must be one contiguous dynamic_update_slice at
+a scalar slot — use RingBatcher below: a shared-ring static-slot design
+where every lane writes the same generation-ring slot each step and
+attention validity is an explicit per-lane bitmask. That is what lets
+multi-session interactive serving run against the quantized 7B weights on
+a single 16GB chip (bf16 weights alone would not fit).
 """
 from __future__ import annotations
 
@@ -185,6 +189,175 @@ class ContinuousBatcher:
             padded = sess.prompt_ids + [self.cfg.pad_token_id] * (tpad - t)
             self.cache, first = self._prefill_fn(
                 self.cache, jnp.asarray(padded, jnp.int32)[None],
+                jnp.asarray(t, jnp.int32), jnp.asarray(lane, jnp.int32),
+                sess.img_embs, t=tpad)
+            first = int(first)
+            self.lane_session[lane] = sess
+            self.cur_lens[lane] = t
+            self.steps[lane] = 1
+            self.last_tok[lane] = first
+            sess.tokens.append(first)
+            if first == self.dp.eos_token_id:
+                sess.done = True
+                self.finished[sess.sid] = sess
+                self.lane_session[lane] = None
+
+
+class RingBatcher:
+    """Continuous batching for the QUANTIZED serving layout (shared-ring
+    static-slot design).
+
+    The plain ContinuousBatcher writes each lane's KV at its own position
+    (write_pos = cur_lens, a vector) — a per-sequence scatter that XLA turns
+    into a full-cache copy every step, and the unrolled int8 serving params
+    cannot express at all (their cache write is one contiguous
+    dynamic_update_slice at a scalar slot). The ring design restores the
+    static-slot property under staggered admission:
+
+      * cache rows are per lane: (L, lanes, S, H, D) bf16. Slots [0, P) are
+        the lane's PROMPT region (filled at admit); slots [P, S) are a
+        GENERATION RING shared by position: every active lane writes step
+        t's KV at the same scalar slot P + (t mod ring_len) in its own row.
+      * slots no longer encode token positions. RoPE is applied at write
+        time from the lane's true position (cur_lens), and attention
+        validity comes from an explicit (lanes, S) bitmask carried on
+        device: admit clears a lane's row and marks its prompt; each step
+        marks the shared slot for active lanes; the mask IS the attention
+        bias. Decode order is irrelevant to causality — every valid slot is
+        a past token of that lane.
+      * ring reuse is safe because a session generates exactly one token
+        per step: a span written at slot g is only revisited ring_len steps
+        later, by which time any session with max_new_tokens < ring_len has
+        finished (asserted at construction).
+
+    Same greedy admit/evict host loop + per-session exactness contract as
+    ContinuousBatcher (tests/test_continuous.py); works with both weight
+    layouts, bf16 KV cache.
+    """
+
+    def __init__(self, params: Dict, cfg: LlamaConfig, lanes: int = 4,
+                 cache_len: int = 512, prompt_len: int = 256,
+                 dp: DecodeParams = DecodeParams(),
+                 lora: Optional[Dict] = None, policy: DTypePolicy = FP32):
+        ring_len = cache_len - prompt_len
+        if ring_len <= dp.max_new_tokens:
+            raise ValueError(
+                f"generation ring ({cache_len}-{prompt_len}={ring_len} slots)"
+                f" must exceed max_new_tokens={dp.max_new_tokens}: a session"
+                " must finish within one ring lap")
+        self.params, self.cfg, self.lora, self.policy = params, cfg, lora, policy
+        self.lanes, self.cache_len, self.dp = lanes, cache_len, dp
+        self.prompt_len, self.ring_len = prompt_len, ring_len
+        self.cache = init_cache(cfg, lanes, cache_len)
+        self.valid = jnp.zeros((lanes, cache_len), jnp.bool_)
+        self.ring_pos = 0                           # host ring counter
+        self.cur_lens = np.zeros(lanes, np.int32)   # true token positions
+        self.last_tok = np.zeros(lanes, np.int32)
+        self.steps = np.zeros(lanes, np.int32)
+        self.lane_session: List[Optional[Session]] = [None] * lanes
+        self.queue: deque[Session] = deque()
+        self.finished: Dict[int, Session] = {}
+        self._ids = itertools.count()
+
+        NEG = -1e30
+
+        @jax.jit
+        def step_fn(cache, valid, last_tok, cur_lens, active, slot):
+            # mark the shared ring slot for active lanes BEFORE building the
+            # bias: the current token attends itself, matching the batch
+            # engine's static-slot semantics
+            valid = jax.lax.dynamic_update_slice(
+                valid, active[:, None], (0, slot))
+            bias = jnp.where(valid, 0.0, NEG)[:, None, None, :]
+            pos = cur_lens[:, None]
+            logits, cache = llama_apply(
+                self.params, cfg, last_tok[:, None], pos, bias, cache=cache,
+                write_pos=slot, lora=self.lora, policy=self.policy)
+            return cache, valid, jnp.argmax(
+                logits[:, 0], axis=-1).astype(jnp.int32)
+
+        @partial(jax.jit, static_argnames=("t",))
+        def prefill_fn(cache, valid, tokens, length, lane, img_embs, t):
+            positions = jnp.arange(t)[None]
+            bias = prefill_bias(length[None], t)
+            img_start = (find_img_start(tokens, cfg.img_token_id)
+                         if img_embs is not None else None)
+            logits, fresh = llama_apply(
+                self.params, cfg, tokens, positions, bias, cache=None,
+                img_embs=img_embs, img_start=img_start, lora=self.lora,
+                policy=self.policy, lengths=length[None],
+                last_pos=length[None] - 1)
+            k = jax.lax.dynamic_update_slice(
+                cache.k, fresh.k.astype(cache.k.dtype), (0, lane, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache.v, fresh.v.astype(cache.v.dtype), (0, lane, 0, 0, 0))
+            # reset the lane's validity row: prompt slots [0, length) live,
+            # everything else (old session leftovers, ring region) dead
+            row = (jnp.arange(cache.k.shape[2]) < length)[None]
+            valid = jax.lax.dynamic_update_slice(
+                valid, row, (lane, 0))
+            first = jnp.argmax(logits[0, 0], axis=-1).astype(jnp.int32)
+            return type(cache)(k, v), valid, first
+
+        self._step_fn = step_fn
+        self._prefill_fn = prefill_fn
+
+    # ------------------------------------------------------------- interface
+    submit = ContinuousBatcher.submit
+    run = ContinuousBatcher.run
+
+    @property
+    def active_lanes(self) -> int:
+        return sum(s is not None for s in self.lane_session)
+
+    def step(self) -> List[int]:
+        self._admit()
+        newly_finished: List[int] = []
+        if self.active_lanes == 0:
+            return newly_finished
+        slot = self.prompt_len + self.ring_pos % self.ring_len
+        self.ring_pos += 1
+        active = np.asarray(
+            [s is not None for s in self.lane_session], np.bool_)
+        cache, valid, nxt = self._step_fn(
+            self.cache, self.valid, jnp.asarray(self.last_tok),
+            jnp.asarray(self.cur_lens), jnp.asarray(active),
+            jnp.asarray(slot, jnp.int32))
+        self.cache, self.valid = cache, valid
+        nxt = np.asarray(nxt)
+        for lane, sess in enumerate(self.lane_session):
+            if sess is None:
+                continue
+            self.cur_lens[lane] += 1
+            tok = int(nxt[lane])
+            sess.tokens.append(tok)
+            self.steps[lane] += 1
+            self.last_tok[lane] = tok
+            if tok == self.dp.eos_token_id or self.steps[lane] >= sess.max_new_tokens:
+                sess.done = True
+                self.finished[sess.sid] = sess
+                self.lane_session[lane] = None
+                newly_finished.append(sess.sid)
+        return newly_finished
+
+    # -------------------------------------------------------------- internals
+    def _admit(self) -> None:
+        while self.queue and self.active_lanes < self.lanes:
+            sess = self.queue.popleft()
+            lane = self.lane_session.index(None)
+            t = len(sess.prompt_ids)
+            tpad = _bucket32(t)
+            if tpad > self.prompt_len:
+                raise ValueError(
+                    f"prompt needs {tpad} slots > prompt region "
+                    f"{self.prompt_len}")
+            if sess.max_new_tokens >= self.ring_len:
+                raise ValueError(
+                    f"max_new_tokens {sess.max_new_tokens} >= ring "
+                    f"{self.ring_len}")
+            padded = sess.prompt_ids + [self.cfg.pad_token_id] * (tpad - t)
+            self.cache, self.valid, first = self._prefill_fn(
+                self.cache, self.valid, jnp.asarray(padded, jnp.int32)[None],
                 jnp.asarray(t, jnp.int32), jnp.asarray(lane, jnp.int32),
                 sess.img_embs, t=tpad)
             first = int(first)

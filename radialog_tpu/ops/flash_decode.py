@@ -28,10 +28,13 @@ batch of matvecs — per-head MXU matmuls are latency-bound (measured
 The 32x MXU "waste" on the off-diagonal zeros is free: the kernel is HBM
 bound and the MXU was idle. Measured e2e on one v5e (full serving path,
 300-token reports): int8 KV batch 12 = 2.87 reports/s vs 2.74 for the
-bf16-KV XLA-attention path at the same batch, and the halved cache opens
-batch 24 (cache_len 448) = 4.85 reports/s. Beyond ~11GB live HBM the
-decode falls off a cliff (XLA stops aliasing the cache updates in place,
-~3x step time) — keep batch*cache_len under it.
+bf16-KV XLA-attention path at the same batch, and batch 24 (cache_len 448)
+= 4.91 reports/s. Batch 28+ crosses an XLA rematerialization cliff
+(~3.7x step time; per-step copies of loop-carried cache buffers) — batch
+24 is the single-chip optimum; see docs/PERF.md for the measured map.
+This path is the OPT-IN capacity mode (kv_int8=True): greedy decode over
+the int8 cache diverges from bf16-KV within ~6 steps on random weights
+(tools/measure_kv_int8.py), so the serving default stays bf16.
 
 Masking matches decode_bias_static_slot
 (models/llama.py): kv slot j is valid iff j < length_b (prefill region) or

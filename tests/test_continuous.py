@@ -88,3 +88,76 @@ class TestContinuousBatching:
         cb.submit(_prompt(10, 30))
         with pytest.raises(ValueError):
             cb.step()
+
+
+class TestRingBatcher:
+    """Shared-ring static-slot continuous batching (the quantized-serving
+    variant): same per-session exactness contract as ContinuousBatcher."""
+
+    def _ring(self, params, lanes=2, max_new=8):
+        from radialog_tpu.decode.continuous import RingBatcher
+        return RingBatcher(params, CFG, lanes=lanes, cache_len=96,
+                           prompt_len=32,
+                           dp=DecodeParams(max_new_tokens=max_new,
+                                           eos_token_id=1))
+
+    def test_staggered_sessions_match_serial(self):
+        rb = self._ring(PARAMS)
+        prompts = [_prompt(6, 1), _prompt(9, 2), _prompt(4, 3)]
+        sids = [rb.submit(prompts[0])]
+        rb.step()
+        rb.step()
+        sids.append(rb.submit(prompts[1]))
+        rb.step()
+        sids.append(rb.submit(prompts[2]))   # queues behind 2 lanes
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        for sid, prompt in zip(sids, prompts):
+            expect = _serial_reference(prompt, 8)
+            assert finished[sid].tokens == expect, (
+                f"sid {sid}: {finished[sid].tokens} != {expect}")
+
+    def test_unrolled_quantized_layout(self):
+        """The whole point of the ring: the unrolled int8 serving weights
+        (scalar-slot cache writes only) run continuous batching too."""
+        from radialog_tpu.ops.quant import quantize_llama_host
+
+        host = jax.tree_util.tree_map(np.asarray, PARAMS)
+        qp = quantize_llama_host(host)
+        rb = self._ring(qp, lanes=2, max_new=6)
+        prompts = [_prompt(5, 21), _prompt(7, 22)]
+        sids = [rb.submit(p) for p in prompts]
+        rb.step()
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        # exactness vs the solo engine on the SAME quantized params
+        for sid, prompt in zip(sids, prompts):
+            toks = jnp.asarray(prompt, jnp.int32)[None]
+            lens = jnp.asarray([len(prompt)])
+            out = generate(qp, CFG, toks, lens,
+                           DecodeParams(max_new_tokens=6, eos_token_id=1),
+                           cache_len=64)
+            n = int(out.lengths[0])
+            expect = [int(x) for x in np.asarray(out.tokens)[0, :n]]
+            assert finished[sid].tokens == expect
+
+    def test_ring_wraps_across_sessions(self):
+        """More total generated tokens than the ring has slots: slot reuse
+        across successive sessions must not corrupt later sessions."""
+        rb = self._ring(PARAMS, lanes=1, max_new=8)   # ring = 96-32 = 64
+        prompts = [_prompt(5, 30 + i) for i in range(12)]  # 12*8 = 96 > 64
+        sids = [rb.submit(p) for p in prompts]
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        for sid, prompt in zip(sids, prompts):
+            assert finished[sid].tokens == _serial_reference(prompt, 8)
+
+    def test_rejects_oversized_request(self):
+        rb = self._ring(PARAMS)
+        rb.submit(_prompt(40, 50))       # bucketed to 64 > prompt_len 32
+        with pytest.raises(ValueError, match="prompt region"):
+            rb.step()
+        from radialog_tpu.decode.continuous import RingBatcher
+        with pytest.raises(ValueError, match="ring"):
+            RingBatcher(PARAMS, CFG, lanes=1, cache_len=64, prompt_len=32,
+                        dp=DecodeParams(max_new_tokens=40, eos_token_id=1))
