@@ -11,12 +11,13 @@ Pipeline measured (the test.py eval path of the reference, full model sizes):
 
 The measured configuration IS the serving default (apps/pipeline.py):
 fused prefill+decode executable, int8 Pallas weight matmuls, bf16 KV cache,
-batch 24, cache 448. The int8-KV flash-decode cache is the opt-in capacity
-mode (kv_int8=True): same harness measures 4.91 reports/s at batch 24
-(tools/bench_sweep.py --kv-int8), but its greedy decode diverges from the
-bf16 cache within ~6 steps on random weights (tools/measure_kv_int8.py),
-so it is not the default and therefore not the headline. Full batch x
-kv-dtype sweep + the HBM aliasing-cliff analysis: docs/PERF.md.
+batch 32, cache 448 — the single-chip optimum (batch 36 compile-OOMs by
+0.5GB). The int8-KV flash-decode cache is the opt-in capacity mode
+(kv_int8=True): same harness measures 4.91 reports/s at its own optimum
+(batch 24), but its greedy decode diverges from the bf16 cache within ~6
+steps on random weights (tools/measure_kv_int8.py), so it is not the
+default and therefore not the headline. Full batch x kv-dtype sweep + the
+HBM aliasing-cliff analysis: docs/PERF.md.
 
 vs_baseline is measured against the reference configuration's estimated GPU
 throughput: HF greedy generate, fp16 Vicuna-7B, batch 12, max_new_tokens 300
@@ -31,8 +32,8 @@ weights re-read per token plus growing KV reads and per-token Python/launch
 overhead). Batch 12 / (300 tok / [8..12] tok/s) = 0.32-0.48 reports/s;
 widening for hardware variance (A6000/A100 spread) gives a defensible
 bracket of [0.27, 0.60] reports/s. A measured value of V reports/s
-therefore implies vs_baseline in [V/0.60, V/0.27] — e.g. 4.27 reports/s
-is 7.1x at worst, 15.8x at best, 10.7x at the 0.40 point estimate. The
+therefore implies vs_baseline in [V/0.60, V/0.27] — e.g. 4.87 reports/s
+is 8.1x at worst, 18x at best, 12.2x at the 0.40 point estimate. The
 JSON line reports the point estimate; this bracket is the honesty bound
 on it.
 
@@ -48,13 +49,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 REFERENCE_REPORTS_PER_SEC = 0.40   # documented estimate, see module docstring
 MAX_NEW_TOKENS = 300               # test.py:344
 PROMPT_LEN = 128                   # system + findings + instruction, typical
-BATCH = 24                         # 2x the reference eval batch (test.py:279):
+BATCH = 32                         # the single-chip optimum (docs/PERF.md):
 # the serving path stores the 7B weights as pre-tiled int8 (ops/q8_matmul.py
-# W8A8 Pallas kernel, ~6.9GB) plus the bf16 KV cache (~5.6GB at batch 24,
-# cache 448) — one 16GB v5e, and the single-chip optimum: batch 28 bf16
-# OOMs at runtime, and every config past ~10.5GB of live decode state
-# crosses the aliasing cliff where XLA stops updating the cache in place
-# and step time ~3.7x's (measured map in docs/PERF.md).
+# W8A8 Pallas kernel, ~6.9GB) plus the bf16 KV cache (~7.5GB at batch 32,
+# cache 448) — one 16GB v5e. Measured bf16 sweep: b24 4.28, b28 4.54,
+# b30 4.68, b32 4.87 reports/s, b36 compile-OOM (direct per-layer prefill
+# into the cache is what freed the headroom past the round-1 batch-24
+# limit; the int8-KV capacity mode instead cliffs past ITS optimum b24).
 # Weight VALUES here are synthetic (randomly init'd / constant tiles) — the
 # metric measures the serving engine's throughput at the real model shapes,
 # matching how the bf16 baseline was measured.
@@ -139,7 +140,7 @@ def main() -> None:
     dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1)  # full-length
 
     cache_len = 448  # >= PROMPT_LEN + MAX_NEW_TOKENS; tight (512 would add
-    # 0.8GB of bf16 cache and cross the batch-24 aliasing cliff)
+    # 1GB of bf16 cache and overflow the batch-32 budget)
 
     @jax.jit
     def report_step(vis_params, vis_state, qf_params, params, lora, images,
@@ -174,7 +175,7 @@ def main() -> None:
         "value": round(reports_per_sec, 4),
         "unit": ("reports/s (image->300-token report e2e, Vicuna-7B shapes, "
                  "int8 W8A8 Pallas weights + bf16 KV — the serving default — "
-                 "batch 24)"),
+                 "batch 32)"),
         "vs_baseline": round(reports_per_sec / REFERENCE_REPORTS_PER_SEC, 3),
     }))
 

@@ -71,6 +71,24 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     # last_pos: the vocab projection runs only on each sequence's final
     # prompt position — projecting all T positions materializes a (B,T,V)
     # f32 buffer (459MB at batch 28) and pays T x the lm_head MXU work
+    if isinstance(params["layers"], (list, tuple)) and not kv_int8:
+        # unrolled serving layout, bf16 cache: DIRECT prefill — each layer
+        # attends its own fresh K/V and stores straight into the
+        # pre-allocated cache at slot 0. No stacked (L,B,T,H,D) fresh-KV
+        # array, no separate install pass — the ~1.9GB of HLO temp this
+        # frees is what lets bf16 serve at batch 32 (docs/PERF.md).
+        # The int8 cache keeps the stacked-fresh + layer-wise-quantize
+        # install path: routing its prefill through the per-layer direct
+        # writes measured 11% SLOWER end-to-end (4.91 -> 4.38 reports/s at
+        # batch 24 — the per-layer quantize+4-buffer DUS chain in the
+        # unrolled prefill graph schedules worse than one post-hoc scan).
+        cache = init_cache(cfg, b, cache_len, quantized=False)
+        logits, cache = llama_apply(params, cfg, tokens, positions, bias,
+                                    cache=cache, write_pos=0,
+                                    img_embs=img_embs, img_start=img_start,
+                                    lora=lora, policy=policy, lengths=lengths,
+                                    axis_name=axis_name, last_pos=lengths - 1)
+        return cache, logits[:, 0]
     logits, fresh = llama_apply(params, cfg, tokens, positions, bias,
                                 cache=None, img_embs=img_embs,
                                 img_start=img_start, lora=lora, policy=policy,

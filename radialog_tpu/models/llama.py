@@ -281,8 +281,24 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                     full_cache.k_scale, ks[None], (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
                     full_cache.v_scale, vs[None], (layer_idx, 0, write_pos, 0)))
-            o = _attention_int8_kv(q, new_cache, layer_idx, bias, hd,
-                                   lengths=lengths, slot_info=slot_info)
+            if t > 1:
+                # DIRECT PREFILL into the int8 cache: attention runs on this
+                # layer's own bf16 K/V (prefill numerics identical to the
+                # bf16 path — the int8 rounding only affects DECODE reads),
+                # while the quantized copy lands in the cache above. Avoids
+                # materializing a stacked (L,B,T,H,D) bf16 fresh-KV +
+                # quantize pass after the forward (~1.9GB of HLO temp at
+                # batch 28 — the headroom loss behind the remat cliff,
+                # docs/PERF.md).
+                k_loc, v_loc = k, v
+                if nkv != nh:
+                    rep = nh // nkv
+                    k_loc = jnp.repeat(k_loc, rep, axis=2)
+                    v_loc = jnp.repeat(v_loc, rep, axis=2)
+                o = mha(q, k_loc, v_loc, bias=bias[..., :t])
+            else:
+                o = _attention_int8_kv(q, new_cache, layer_idx, bias, hd,
+                                       lengths=lengths, slot_info=slot_info)
             o = o.reshape(b, t, nh * hd)
             return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
                     new_cache)
@@ -293,6 +309,20 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
             full_cache.v, v[None].astype(full_cache.v.dtype),
             (layer_idx, 0, write_pos, 0, 0))
         new_cache_layer = KVCache(ck_full, cv_full)
+        if t > 1:
+            # DIRECT PREFILL into the bf16 cache: attend this layer's own
+            # fresh K/V in the compute dtype (numerics identical to the
+            # no-cache prefill), store to the cache above — no stacked
+            # fresh-KV array, no separate install pass (see the quantized
+            # branch's rationale).
+            k_loc, v_loc = k, v
+            if nkv != nh:
+                rep = nh // nkv
+                k_loc = jnp.repeat(k_loc, rep, axis=2)
+                v_loc = jnp.repeat(v_loc, rep, axis=2)
+            o = mha(q, k_loc, v_loc, bias=bias[..., :t]).reshape(b, t, nh * hd)
+            return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
+                    new_cache_layer)
         # static layer slice: fuses into the attention matmul, no copy
         k_all = ck_full[layer_idx].astype(x.dtype)
         v_all = cv_full[layer_idx].astype(x.dtype)
