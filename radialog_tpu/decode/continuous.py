@@ -95,24 +95,33 @@ class ContinuousBatcher:
 
         s_max = cache_len
 
-        @jax.jit
-        def step_fn(cache, last_tok, cur_lens):
+        # params/lora are explicit jit ARGUMENTS, not closure captures:
+        # closed-over device arrays are serialized into the compile payload,
+        # which at 7B serving sizes (~7GB) stalls remote compilation under
+        # the TPU tunnel (verify-skill gotcha; measured as a silent
+        # 25-minute hang in tools/bench_interactive.py).
+        # cache is DONATED: the returned cache aliases the argument buffer,
+        # so the per-step DUS updates in place instead of copying the
+        # multi-GB cache (donation at a flat call aliases fine; it is only
+        # the while-loop carry where XLA double-buffers, docs/PERF.md).
+        @partial(jax.jit, donate_argnums=(2,))
+        def step_fn(params, lora, cache, last_tok, cur_lens):
             pos = cur_lens[:, None]
             bias = decode_bias(cur_lens + 1, s_max)
             logits, cache = llama_apply(
-                self.params, cfg, last_tok[:, None], pos, bias, cache=cache,
-                write_pos=cur_lens, lora=self.lora, policy=self.policy)
+                params, cfg, last_tok[:, None], pos, bias, cache=cache,
+                write_pos=cur_lens, lora=lora, policy=self.policy)
             return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
 
-        @partial(jax.jit, static_argnames=("t",))
-        def prefill_fn(cache, tokens, length, lane, img_embs, t):
+        @partial(jax.jit, static_argnames=("t",), donate_argnums=(2,))
+        def prefill_fn(params, lora, cache, tokens, length, lane, img_embs, t):
             positions = jnp.arange(t)[None]
             bias = prefill_bias(length[None], t)
             img_start = (find_img_start(tokens, cfg.img_token_id)
                          if img_embs is not None else None)
             logits, fresh = llama_apply(
-                self.params, cfg, tokens, positions, bias, cache=None,
-                img_embs=img_embs, img_start=img_start, lora=self.lora,
+                params, cfg, tokens, positions, bias, cache=None,
+                img_embs=img_embs, img_start=img_start, lora=lora,
                 policy=self.policy, lengths=length[None],
                 last_pos=length[None] - 1)
             k = jax.lax.dynamic_update_slice(
@@ -147,7 +156,8 @@ class ContinuousBatcher:
         newly_finished: List[int] = []
         if self.active_lanes == 0:
             return newly_finished
-        cache, nxt = self._step_fn(self.cache, jnp.asarray(self.last_tok),
+        cache, nxt = self._step_fn(self.params, self.lora, self.cache,
+                                   jnp.asarray(self.last_tok),
                                    jnp.asarray(self.cur_lens))
         self.cache = cache
         nxt = np.asarray(nxt)
@@ -188,7 +198,8 @@ class ContinuousBatcher:
                     f"cache_len {self.cache_len}")
             padded = sess.prompt_ids + [self.cfg.pad_token_id] * (tpad - t)
             self.cache, first = self._prefill_fn(
-                self.cache, jnp.asarray(padded, jnp.int32)[None],
+                self.params, self.lora, self.cache,
+                jnp.asarray(padded, jnp.int32)[None],
                 jnp.asarray(t, jnp.int32), jnp.asarray(lane, jnp.int32),
                 sess.img_embs, t=tpad)
             first = int(first)
@@ -232,22 +243,39 @@ class RingBatcher:
 
     Same greedy admit/evict host loop + per-session exactness contract as
     ContinuousBatcher (tests/test_continuous.py); works with both weight
-    layouts, bf16 KV cache.
+    layouts, bf16 KV cache. ``steps_per_call`` batches k decode steps into
+    one jit call (lax.scan) to amortize per-call dispatch — the serving
+    default for real deployments; admission then happens every k tokens.
     """
 
     def __init__(self, params: Dict, cfg: LlamaConfig, lanes: int = 4,
                  cache_len: int = 512, prompt_len: int = 256,
                  dp: DecodeParams = DecodeParams(),
-                 lora: Optional[Dict] = None, policy: DTypePolicy = FP32):
+                 lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
+                 steps_per_call: int = 1, donate_cache: bool = True):
+        # steps_per_call > 1 amortizes the per-call dispatch cost (under the
+        # TPU tunnel each jit call carries ~30ms of round-trip — measured:
+        # 42.7 -> ~14 ms/tok going 1 -> 8 steps/call at 7B, 8 lanes) at the
+        # cost of admitting/evicting only every k tokens. A lane whose
+        # session finishes mid-chunk decodes garbage until the chunk ends;
+        # the host trims it and the lane's valid row is reset at the next
+        # admission, so other lanes are unaffected (per-lane numerics are
+        # independent).
         ring_len = cache_len - prompt_len
-        if ring_len <= dp.max_new_tokens:
+        k = steps_per_call
+        # a session occupies ceil((max_new-1)/k) chunks = that many * k ring
+        # advances; the ring must not wrap onto its own live slots
+        life = -(-max(dp.max_new_tokens - 1, 1) // k) * k
+        if life >= ring_len:
             raise ValueError(
                 f"generation ring ({cache_len}-{prompt_len}={ring_len} slots)"
-                f" must exceed max_new_tokens={dp.max_new_tokens}: a session"
-                " must finish within one ring lap")
+                f" must exceed a session's ring span {life} "
+                f"(max_new_tokens={dp.max_new_tokens} rounded up to "
+                f"steps_per_call={k} chunks)")
         self.params, self.cfg, self.lora, self.policy = params, cfg, lora, policy
         self.lanes, self.cache_len, self.dp = lanes, cache_len, dp
         self.prompt_len, self.ring_len = prompt_len, ring_len
+        self.steps_per_call = k
         self.cache = init_cache(cfg, lanes, cache_len)
         self.valid = jnp.zeros((lanes, cache_len), jnp.bool_)
         self.ring_pos = 0                           # host ring counter
@@ -261,30 +289,48 @@ class RingBatcher:
 
         NEG = -1e30
 
-        @jax.jit
-        def step_fn(cache, valid, last_tok, cur_lens, active, slot):
-            # mark the shared ring slot for active lanes BEFORE building the
-            # bias: the current token attends itself, matching the batch
-            # engine's static-slot semantics
-            valid = jax.lax.dynamic_update_slice(
-                valid, active[:, None], (0, slot))
-            bias = jnp.where(valid, 0.0, NEG)[:, None, None, :]
-            pos = cur_lens[:, None]
-            logits, cache = llama_apply(
-                self.params, cfg, last_tok[:, None], pos, bias, cache=cache,
-                write_pos=slot, lora=self.lora, policy=self.policy)
-            return cache, valid, jnp.argmax(
-                logits[:, 0], axis=-1).astype(jnp.int32)
+        # params/lora as jit ARGUMENTS, cache/valid donated by default (see
+        # ContinuousBatcher.__init__; donate_cache=False is a measurement
+        # knob — the donated argument is also the scan carry, the exact
+        # shape XLA double-buffers per docs/PERF.md). One call =
+        # steps_per_call decode steps under a lax.scan; returns (k, lanes).
+        @partial(jax.jit,
+                 donate_argnums=(2, 3) if donate_cache else ())
+        def step_fn(params, lora, cache, valid, last_tok, cur_lens, active,
+                    ring_base):
+            def body(carry, i):
+                cache, valid, last_tok, cur_lens = carry
+                slot = prompt_len + jax.lax.rem(ring_base + i, ring_len)
+                # mark the shared ring slot for active lanes BEFORE building
+                # the bias: the current token attends itself, matching the
+                # batch engine's static-slot semantics
+                valid = jax.lax.dynamic_update_slice(
+                    valid, active[:, None], (0, slot))
+                bias = jnp.where(valid, 0.0, NEG)[:, None, None, :]
+                pos = cur_lens[:, None]
+                logits, cache = llama_apply(
+                    params, cfg, last_tok[:, None], pos, bias, cache=cache,
+                    write_pos=slot, lora=lora, policy=self.policy)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                last_tok = jnp.where(active, nxt, last_tok)
+                cur_lens = cur_lens + active.astype(jnp.int32)
+                return (cache, valid, last_tok, cur_lens), nxt
 
-        @partial(jax.jit, static_argnames=("t",))
-        def prefill_fn(cache, valid, tokens, length, lane, img_embs, t):
+            (cache, valid, last_tok, cur_lens), toks = jax.lax.scan(
+                body, (cache, valid, last_tok, cur_lens),
+                jnp.arange(k, dtype=jnp.int32))
+            return cache, valid, last_tok, cur_lens, toks
+
+        @partial(jax.jit, static_argnames=("t",), donate_argnums=(2, 3))
+        def prefill_fn(params, lora, cache, valid, tokens, length, lane,
+                       img_embs, t):
             positions = jnp.arange(t)[None]
             bias = prefill_bias(length[None], t)
             img_start = (find_img_start(tokens, cfg.img_token_id)
                          if img_embs is not None else None)
             logits, fresh = llama_apply(
-                self.params, cfg, tokens, positions, bias, cache=None,
-                img_embs=img_embs, img_start=img_start, lora=self.lora,
+                params, cfg, tokens, positions, bias, cache=None,
+                img_embs=img_embs, img_start=img_start, lora=lora,
                 policy=self.policy, lengths=length[None],
                 last_pos=length[None] - 1)
             k = jax.lax.dynamic_update_slice(
@@ -311,33 +357,41 @@ class RingBatcher:
         return sum(s is not None for s in self.lane_session)
 
     def step(self) -> List[int]:
+        """One jit call = steps_per_call decode steps for every active lane
+        (admission/eviction at chunk granularity). Returns sids finished."""
         self._admit()
         newly_finished: List[int] = []
         if self.active_lanes == 0:
             return newly_finished
-        slot = self.prompt_len + self.ring_pos % self.ring_len
-        self.ring_pos += 1
+        ring_base = self.ring_pos % self.ring_len
+        self.ring_pos += self.steps_per_call
         active = np.asarray(
             [s is not None for s in self.lane_session], np.bool_)
-        cache, valid, nxt = self._step_fn(
-            self.cache, self.valid, jnp.asarray(self.last_tok),
-            jnp.asarray(self.cur_lens), jnp.asarray(active),
-            jnp.asarray(slot, jnp.int32))
+        cache, valid, last_tok, cur_lens, toks = self._step_fn(
+            self.params, self.lora, self.cache, self.valid,
+            jnp.asarray(self.last_tok), jnp.asarray(self.cur_lens),
+            jnp.asarray(active), jnp.asarray(ring_base, jnp.int32))
         self.cache, self.valid = cache, valid
-        nxt = np.asarray(nxt)
+        # np.array (copy): _admit mutates these host-side per lane
+        self.last_tok = np.array(last_tok)
+        self.cur_lens = np.array(cur_lens)
+        toks = np.asarray(toks)          # (steps_per_call, lanes)
         for lane, sess in enumerate(self.lane_session):
             if sess is None:
                 continue
-            self.cur_lens[lane] += 1
-            tok = int(nxt[lane])
-            sess.tokens.append(tok)
-            self.steps[lane] += 1
-            self.last_tok[lane] = tok
-            if tok == self.dp.eos_token_id or self.steps[lane] >= sess.max_new_tokens:
-                sess.done = True
-                self.finished[sess.sid] = sess
-                self.lane_session[lane] = None
-                newly_finished.append(sess.sid)
+            for i in range(self.steps_per_call):
+                tok = int(toks[i, lane])
+                sess.tokens.append(tok)
+                self.steps[lane] += 1
+                if (tok == self.dp.eos_token_id
+                        or self.steps[lane] >= sess.max_new_tokens):
+                    # tokens the chunk produced past this point are garbage
+                    # (the lane kept decoding); trimmed by stopping here
+                    sess.done = True
+                    self.finished[sess.sid] = sess
+                    self.lane_session[lane] = None
+                    newly_finished.append(sess.sid)
+                    break
         return newly_finished
 
     # -------------------------------------------------------------- internals
@@ -357,7 +411,8 @@ class RingBatcher:
                     f"{self.ring_len}")
             padded = sess.prompt_ids + [self.cfg.pad_token_id] * (tpad - t)
             self.cache, self.valid, first = self._prefill_fn(
-                self.cache, self.valid, jnp.asarray(padded, jnp.int32)[None],
+                self.params, self.lora, self.cache, self.valid,
+                jnp.asarray(padded, jnp.int32)[None],
                 jnp.asarray(t, jnp.int32), jnp.asarray(lane, jnp.int32),
                 sess.img_embs, t=tpad)
             first = int(first)

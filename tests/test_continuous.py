@@ -152,6 +152,27 @@ class TestRingBatcher:
         for sid, prompt in zip(sids, prompts):
             assert finished[sid].tokens == _serial_reference(prompt, 8)
 
+    def test_chunked_steps_match_serial(self):
+        """steps_per_call>1 (k decode steps per jit call, the dispatch-
+        amortizing serving mode) must trim mid-chunk EOS/max_new garbage and
+        still match the serial engine token-for-token."""
+        from radialog_tpu.decode.continuous import RingBatcher
+        rb = RingBatcher(PARAMS, CFG, lanes=2, cache_len=96, prompt_len=32,
+                         dp=DecodeParams(max_new_tokens=8, eos_token_id=1),
+                         steps_per_call=4)
+        prompts = [_prompt(6, 41), _prompt(9, 42), _prompt(4, 43)]
+        sids = [rb.submit(prompts[0])]
+        rb.step()
+        sids.append(rb.submit(prompts[1]))   # admitted at chunk boundary
+        rb.step()
+        sids.append(rb.submit(prompts[2]))
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        for sid, prompt in zip(sids, prompts):
+            expect = _serial_reference(prompt, 8)
+            assert finished[sid].tokens == expect, (
+                f"sid {sid}: {finished[sid].tokens} != {expect}")
+
     def test_rejects_oversized_request(self):
         rb = self._ring(PARAMS)
         rb.submit(_prompt(40, 50))       # bucketed to 64 > prompt_len 32

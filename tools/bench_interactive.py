@@ -36,6 +36,13 @@ def main() -> None:
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--sessions", type=int, default=16)
+    ap.add_argument("--steps-per-call", type=int, default=8,
+                    help="decode steps per jit call (amortizes the ~30ms "
+                         "tunnel dispatch; admission granularity = k tokens)")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="do not donate the cache into the step call "
+                         "(measurement knob: donated args that are also "
+                         "scan carries get double-buffered, docs/PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +67,8 @@ def main() -> None:
                      prompt_len=prompt_region,
                      dp=DecodeParams(max_new_tokens=args.new_tokens,
                                      eos_token_id=-1),  # run full length
-                     policy=BF16)
+                     policy=BF16, steps_per_call=args.steps_per_call,
+                     donate_cache=not args.no_donate)
 
     rng = np.random.default_rng(0)
 
@@ -101,10 +109,11 @@ def main() -> None:
     print(json.dumps({
         "lanes": args.lanes, "sessions": args.sessions,
         "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
-        "cache_len": args.cache_len,
+        "cache_len": args.cache_len, "steps_per_call": args.steps_per_call,
         "aggregate_tok_per_s": round(total_tokens / dt, 1),
         "per_session_tok_per_s": round(total_tokens / dt / args.lanes, 1),
-        "step_ms": round(step_warm * 1000, 2),
+        "chunk_ms": round(step_warm * 1000, 2),
+        "ms_per_tok": round(step_warm * 1000 / args.steps_per_call, 2),
         "admit_ms_warm": round(admit_warm_s * 1000, 1),
     }))
 
