@@ -61,20 +61,23 @@ BATCH = 32                         # the single-chip optimum (docs/PERF.md):
 # matching how the bf16 baseline was measured.
 
 
-def build_serving_params(cfg, key):
+def build_serving_params(cfg, key, bits: int = 8):
     """int8 serving weights at the real shapes (fused qkv / gateup layout of
     ops/quant.py quantize_llama_host). Constant int8 tiles: the random
     values don't affect throughput, and on-device randint would transiently
-    allocate 4x in int32. Shared with tools/bench_sweep.py."""
+    allocate 4x in int32. Shared with tools/bench_sweep.py. bits=4 builds
+    the W4A8 layer leaves (ops/q4_matmul.py); lm_head stays int8 as in
+    quantize_llama_host."""
     import jax.numpy as jnp
     import jax
 
+    from radialog_tpu.ops.q4_matmul import GROUP, PackedQ4
     from radialog_tpu.ops.q8_matmul import TILE_BN, PackedQ8, pick_bk
 
     h, inter, L, V = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
     kvh = cfg.num_kv_heads * cfg.head_dim
 
-    def qleaf(layers, k_dim, n_dim):
+    def qleaf8(layers, k_dim, n_dim):
         bk = pick_bk(k_dim)
         kp = -(-k_dim // bk) * bk
         npad = -(-n_dim // TILE_BN) * TILE_BN
@@ -85,6 +88,18 @@ def build_serving_params(cfg, key):
         return PackedQ8(jnp.full(shape, 3, jnp.int8),
                         jnp.full(scale_shape, k_dim ** -0.5 / 127.0, jnp.float32),
                         n_dim)
+
+    def qleaf4(k_dim, n_dim):
+        bk = pick_bk(k_dim)
+        kp = -(-k_dim // bk) * bk
+        npad = -(-n_dim // TILE_BN) * TILE_BN
+        w_t = jnp.full((kp // bk, npad // TILE_BN, bk // 2, TILE_BN),
+                       0x21, jnp.int8)                 # nibbles 2|1
+        gscale = jnp.full((kp // GROUP, npad), k_dim ** -0.5 / 7.0,
+                          jnp.float32)
+        return PackedQ4(w_t, gscale, n_dim, GROUP)
+
+    qleaf = qleaf8 if bits == 8 else (lambda layers, k, n: qleaf4(k, n))
 
     return {
         "embed": jax.random.normal(key, (V, h), jnp.bfloat16) * jnp.bfloat16(0.02),
@@ -99,7 +114,7 @@ def build_serving_params(cfg, key):
             "post_ln": jnp.ones((h,), jnp.float32),
         } for _ in range(L)],
         "final_ln": jnp.ones((h,), jnp.float32),
-        "lm_head": qleaf(0, h, V),
+        "lm_head": qleaf8(0, h, V),  # int8 either way (quantize_llama_host)
     }
 
 

@@ -56,6 +56,11 @@ class PipelineConfig:
     # 4096, 32 heads, prompt 448) is large — greedy outputs start differing
     # within ~6 steps on random weights — so int8 KV trades output parity
     # for ~2x cache capacity and must be requested explicitly.
+    weight_bits: int = 8                     # 4 = W4A8 nibble-packed layers
+    # (ops/q4_matmul.py). EXPLICIT OPT-IN capacity/speed mode like kv_int8:
+    # ~25% faster weight sweep + 3.4GB HBM freed at 7B, but 15-level
+    # group-wise weights are NOT the near-lossless default — use only where
+    # the quality budget has been validated on real weights.
     max_new_tokens: int = 300                # test.py:344
     seed: int = 42
 
@@ -67,6 +72,12 @@ class PipelineConfig:
                     "runs on the unrolled quantize_llama_host serving params")
             return True
         return False
+
+    def __post_init__(self):
+        if self.weight_bits != 8 and not self.quantize:
+            raise ValueError(
+                "weight_bits=4 requires quantize=True (the W4A8 path runs "
+                "on the unrolled quantize_llama_host serving params)")
 
 
 class RaDialogPipeline:
@@ -96,7 +107,8 @@ class RaDialogPipeline:
                 # unrolled-layer kernels require quantize_llama_host params)
                 from ..ops.quant import quantize_llama_host
                 self.llama = quantize_llama_host(
-                    jax.tree_util.tree_map(np.asarray, self.llama))
+                    jax.tree_util.tree_map(np.asarray, self.llama),
+                    bits=cfg.weight_bits)
             self.lora = lora_init(kl, self.llama_cfg, dtype=dtype)
         else:
             if cfg.vicuna_path is None:
@@ -168,7 +180,8 @@ class RaDialogPipeline:
             # chip (the bf16 copy never touches HBM — 7B bf16 + transients
             # would OOM a 16GB v5e)
             from ..ops.quant import quantize_llama_host
-            return quantize_llama_host(params, device=jax.devices()[0])
+            return quantize_llama_host(params, device=jax.devices()[0],
+                                       bits=self.cfg.weight_bits)
         return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
 
     def _load_lora(self, path: str, dtype) -> Dict:

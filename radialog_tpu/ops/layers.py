@@ -60,6 +60,11 @@ def linear(p: dict, x: jax.Array, policy: DTypePolicy = FP32) -> jax.Array:
         from .q8_matmul import q8_matmul_packed, q8_matmul_reference
         fn = q8_matmul_packed if on_tpu() else q8_matmul_reference
         return fn(x, p, out_dtype=policy.compute)
+    if type(p).__name__ == "PackedQ4":  # nibble-packed W4A8 serving leaf
+        from .quant import on_tpu
+        from .q4_matmul import q4_matmul_packed, q4_matmul_reference
+        fn = q4_matmul_packed if on_tpu() else q4_matmul_reference
+        return fn(x, p, out_dtype=policy.compute)
     if "w_q" in p:  # simple int8 leaf (ops/quant.py)
         from .quant import linear_q8
         return linear_q8(p, x, compute_dtype=policy.compute)

@@ -85,7 +85,7 @@ def quantize_weight_np(w) -> Dict[str, Any]:
 
 def quantize_llama_host(params: Dict, device=None,
                         quantize_embed: bool = True,
-                        fuse: bool = True) -> Dict:
+                        fuse: bool = True, bits: int = 8) -> Dict:
     """quantize_llama on host arrays into the SERVING layout.
 
     Each projection becomes a PackedQ8 (pre-tiled contiguous int8,
@@ -94,15 +94,29 @@ def quantize_llama_host(params: Dict, device=None,
     single matmuls. Layers are emitted as a LIST of per-layer dicts (the
     unrolled serving path in models/llama.py): separate HBM buffers per layer
     let the Pallas custom-calls read weights with zero copies, where scanning
-    stacked weights would copy each layer's slice every step."""
+    stacked weights would copy each layer's slice every step.
+
+    ``bits=4`` packs the LAYER projections as PackedQ4 (nibble-packed int4
+    with group-wise scales, ops/q4_matmul.py) — the opt-in capacity/speed
+    mode (~25% faster weight sweep, tools/microbench_w4.py). The lm_head
+    stays int8 either way: the vocab projection decides the argmax, is read
+    once per step (~130MB), and int4 error there flips tokens directly."""
     import numpy as np
+    from .q4_matmul import PackedQ4, pack_q4
     from .q8_matmul import PackedQ8, pack_q8
+
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    pack_layer = pack_q4 if bits == 4 else pack_q8
 
     def put(x, dtype=None):
         x = jnp.asarray(np.asarray(x), dtype) if dtype else jnp.asarray(np.asarray(x))
         return jax.device_put(x, device) if device is not None else x
 
-    def put_packed(p: PackedQ8) -> PackedQ8:
+    def put_packed(p):
+        if isinstance(p, PackedQ4):
+            return PackedQ4(put(p.w_t), put(p.gscale), p.n, p.group,
+                            None if p.b is None else put(p.b))
         return PackedQ8(put(p.w_t), put(p.scale), p.n,
                         None if p.b is None else put(p.b))
 
@@ -119,15 +133,15 @@ def quantize_llama_host(params: Dict, device=None,
             wqkv = np.concatenate([np.asarray(src["wq"]["w"][i]),
                                    np.asarray(src["wk"]["w"][i]),
                                    np.asarray(src["wv"]["w"][i])], axis=-1)
-            layer["wqkv"] = put_packed(pack_q8(wqkv))
+            layer["wqkv"] = put_packed(pack_layer(wqkv))
             gateup = np.concatenate([np.asarray(src["gate"]["w"][i]),
                                      np.asarray(src["up"]["w"][i])], axis=-1)
-            layer["gateup"] = put_packed(pack_q8(gateup))
+            layer["gateup"] = put_packed(pack_layer(gateup))
             for name in ("wo", "down"):
-                layer[name] = put_packed(pack_q8(np.asarray(src[name]["w"][i])))
+                layer[name] = put_packed(pack_layer(np.asarray(src[name]["w"][i])))
         else:
             for name in _QUANT_TARGETS:
-                layer[name] = put_packed(pack_q8(np.asarray(src[name]["w"][i])))
+                layer[name] = put_packed(pack_layer(np.asarray(src[name]["w"][i])))
         layers.append(layer)
     out["layers"] = layers
     if quantize_embed:

@@ -28,6 +28,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--w4", action="store_true",
+                    help="W4A8 layer weights (ops/q4_matmul.py) instead of "
+                         "the default W8A8")
     ap.add_argument("--cache-len", type=int, default=448)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=300)
@@ -62,7 +65,7 @@ def main() -> None:
     cfg = VICUNA_7B
     bcfg = Blip2Config()
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
-    params = build_serving_params(cfg, k1)
+    params = build_serving_params(cfg, k1, bits=4 if args.w4 else 8)
     lora = lora_init(k2, cfg, dtype=jnp.bfloat16)
     vis_params, vis_state = biovil_t_init(
         k3, joint_feature_size=bcfg.qformer.encoder_width)
@@ -144,7 +147,7 @@ def main() -> None:
 
     rps = args.runs * B / dt
     print(json.dumps({
-        "batch": B, "kv_int8": bool(args.kv_int8),
+        "batch": B, "kv_int8": bool(args.kv_int8), "w4": bool(args.w4),
         "two_phase": bool(args.two_phase),
         "cache_len": args.cache_len, "new_tokens": args.new_tokens,
         "reports_per_sec": round(rps, 4),
