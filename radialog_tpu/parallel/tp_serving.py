@@ -39,6 +39,7 @@ from ..core.mesh import DATA_AXIS, MODEL_AXIS
 from ..decode.engine import DecodeParams, GenerationResult, generate
 from ..models.llama import LlamaConfig
 from ..ops.layers import BF16, DTypePolicy
+from ..ops.q4_matmul import PackedQ4
 from ..ops.q8_matmul import PackedQ8
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -111,7 +112,7 @@ _REPLICATED_KEYS = ("input_ln", "post_ln", "final_ln", "embed", "lm_head")
 
 
 def shard_quantized_llama(params: Dict, cfg: LlamaConfig, n_shards: int,
-                          device=None) -> Tuple[Dict, Dict]:
+                          device=None, bits: int = 8) -> Tuple[Dict, Dict]:
     """Stacked float tree (host) -> (global serving tree, spec tree).
 
     Per-shard slices are quantized/packed independently (each shard gets
@@ -119,18 +120,33 @@ def shard_quantized_llama(params: Dict, cfg: LlamaConfig, n_shards: int,
     P(MODEL_AXIS, ...); replicated leaves (norms, embed, lm_head) keep one
     copy with spec P(). Per-shard packing also means per-shard quant scales —
     identical to the unsharded scales because pack_q8's scales are
-    per-output-channel and column slicing preserves channels.
+    per-output-channel and column slicing preserves channels. (Row-parallel
+    wo/down re-quantize per shard — scales over the shard's K rows; and at
+    bits=4 the group-wise K scales restart at the shard boundary — so >1-way
+    TP tokens can diverge slightly, see tests/test_tp_serving.py.)
+
+    ``bits=4`` packs the layer shards as PackedQ4 (W4A8, ops/q4_matmul.py).
     """
     from ..ops.quant import quantize_llama_host
 
     trees = [quantize_llama_host(_slice_float_tree(params, cfg, s, n_shards),
-                                 device=None)
+                                 device=None, bits=bits)
              for s in range(n_shards)]
 
     def put(x):
         return jax.device_put(x, device) if device is not None else jnp.asarray(x)
 
-    def stack_packed(packs) -> Tuple[PackedQ8, PackedQ8]:
+    def stack_packed(packs):
+        if isinstance(packs[0], PackedQ4):
+            w_t = put(np.stack([np.asarray(p.w_t) for p in packs]))
+            gscale = put(np.stack([np.asarray(p.gscale) for p in packs]))
+            b = None
+            if packs[0].b is not None:
+                b = put(np.stack([np.asarray(p.b) for p in packs]))
+            g = PackedQ4(w_t, gscale, packs[0].n, packs[0].group, b)
+            spec = PackedQ4(P(MODEL_AXIS), P(MODEL_AXIS), packs[0].n,
+                            packs[0].group, None if b is None else P(MODEL_AXIS))
+            return g, spec
         w_t = put(np.stack([np.asarray(p.w_t) for p in packs]))
         scale = put(np.stack([np.asarray(p.scale) for p in packs]))
         b = None
