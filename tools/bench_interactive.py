@@ -43,6 +43,9 @@ def main() -> None:
                     help="do not donate the cache into the step call "
                          "(measurement knob: donated args that are also "
                          "scan carries get double-buffered, docs/PERF.md)")
+    ap.add_argument("--w4", action="store_true",
+                    help="W4A8 weights (3.6GB vs 7GB — headroom for more "
+                         "lanes)")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +61,8 @@ def main() -> None:
     from radialog_tpu.ops.layers import BF16
 
     cfg = VICUNA_7B
-    params = build_serving_params(cfg, jax.random.PRNGKey(0))
+    params = build_serving_params(cfg, jax.random.PRNGKey(0),
+                                  bits=4 if args.w4 else 8)
     jax.block_until_ready(jax.tree_util.tree_leaves(params))
 
     # prompt region must hold the bucketed prompt; ring takes the rest
@@ -110,6 +114,7 @@ def main() -> None:
         "lanes": args.lanes, "sessions": args.sessions,
         "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
         "cache_len": args.cache_len, "steps_per_call": args.steps_per_call,
+        "w4": bool(args.w4),
         "aggregate_tok_per_s": round(total_tokens / dt, 1),
         "per_session_tok_per_s": round(total_tokens / dt / args.lanes, 1),
         "chunk_ms": round(step_warm * 1000, 2),
