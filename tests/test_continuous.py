@@ -141,6 +141,7 @@ class TestRingBatcher:
             expect = [int(x) for x in np.asarray(out.tokens)[0, :n]]
             assert finished[sid].tokens == expect
 
+    @pytest.mark.slow  # 12 sequential sessions: ~36s on CPU
     def test_ring_wraps_across_sessions(self):
         """More total generated tokens than the ring has slots: slot reuse
         across successive sessions must not corrupt later sessions."""

@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_sine_pos_embedding_matches_reference_formula():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.slow  # real-width pooler: ~22s of CPU compile
 def test_vit_pooler_shapes_and_prior_fusion():
     p = vit_pooler_init(K, dim=32, grid=(4, 4))
     cur = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 4, 32)), jnp.float32)
@@ -90,6 +92,7 @@ def test_patch_tokens_channel_major_quirk():
     np.testing.assert_array_equal(toks, ref)
 
 
+@pytest.mark.slow  # 488-crop trunk forward: ~29s on CPU
 def test_chexpert_classifier_end_to_end_shape():
     p, s = chexpert_classifier_init(K)
     # 128x128 input -> 4x4 grid -> avg_pool(4) -> 1x1... need 488 for 16x16.
