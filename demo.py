@@ -45,7 +45,10 @@ def build_session(args):
         classifier_checkpoint=m.get("classifier_checkpoint"),
         chexbert_checkpoint=m.get("chexbert_checkpoint"),
         emb_cache=m.get("emb_cache"),
-        mock=args.mock or bool(m.get("mock", False))))
+        mock=args.mock or bool(m.get("mock", False)),
+        quantize=bool(m.get("quantize", False)) or m.get("weight_bits", 8) != 8,
+        kv_int8=m.get("kv_int8"),
+        weight_bits=int(m.get("weight_bits", 8))))
     return ChatSession(pipe, gen_report=not args.no_report)
 
 

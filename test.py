@@ -53,6 +53,9 @@ def parse_args():
                    help="tiny seeded models — full pipeline without weights")
     p.add_argument("--int8", action="store_true", default=False,
                    help="int8 W8A8 serving (fits batch 12 on one v5e)")
+    p.add_argument("--w4", action="store_true", default=False,
+                   help="W4A8 layer weights (opt-in capacity/speed mode, "
+                        "quality budget in docs/PERF.md; implies --int8)")
     return p.parse_args()
 
 
@@ -87,7 +90,9 @@ def main():
         vicuna_path=args.vicuna_path, lora_path=args.lora_model,
         blip2_checkpoint=args.blip2_checkpoint,
         chexbert_checkpoint=args.chexbert_checkpoint,
-        emb_cache=args.emb_cache, mock=args.mock, quantize=args.int8,
+        emb_cache=args.emb_cache, mock=args.mock,
+        quantize=args.int8 or args.w4,
+        weight_bits=4 if args.w4 else 8,
         max_new_tokens=args.max_new_tokens))
 
     emb_provider = None
