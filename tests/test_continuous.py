@@ -141,6 +141,28 @@ class TestRingBatcher:
             expect = [int(x) for x in np.asarray(out.tokens)[0, :n]]
             assert finished[sid].tokens == expect
 
+    def test_w4_quantized_layout(self):
+        """The W4A8 (PackedQ4) serving layout runs continuous batching too
+        — exactness vs the solo engine on the SAME quantized params."""
+        from radialog_tpu.ops.quant import quantize_llama_host
+
+        host = jax.tree_util.tree_map(np.asarray, PARAMS)
+        qp = quantize_llama_host(host, bits=4)
+        rb = self._ring(qp, lanes=2, max_new=5)
+        prompts = [_prompt(5, 61), _prompt(7, 62)]
+        sids = [rb.submit(p) for p in prompts]
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        for sid, prompt in zip(sids, prompts):
+            toks = jnp.asarray(prompt, jnp.int32)[None]
+            lens = jnp.asarray([len(prompt)])
+            out = generate(qp, CFG, toks, lens,
+                           DecodeParams(max_new_tokens=5, eos_token_id=1),
+                           cache_len=64)
+            n = int(out.lengths[0])
+            expect = [int(x) for x in np.asarray(out.tokens)[0, :n]]
+            assert finished[sid].tokens == expect
+
     @pytest.mark.slow  # 12 sequential sessions: ~36s on CPU
     def test_ring_wraps_across_sessions(self):
         """More total generated tokens than the ring has slots: slot reuse
