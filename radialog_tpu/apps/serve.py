@@ -13,44 +13,28 @@ sessions finish. Measured capacity on one v5e chip at Vicuna-7B shapes:
 Design:
   * The RingBatcher is NOT thread-safe and JAX dispatch should come from
     one thread — ALL batcher interaction happens on the stepper thread.
-    `submit()` only enqueues; results come back through `ServeFuture`.
+    `submit()` only enqueues; results come back through a
+    `concurrent.futures.Future[List[int]]`.
+  * Per-request errors (oversized prompt, max_new_tokens >= ring) are
+    delivered to THAT request's future via set_exception — one bad client
+    never takes down the loop. An error in the shared decode step is fatal
+    for the in-flight sessions: it fails every outstanding future and
+    marks the server dead (subsequent submit() raises).
   * The stepper idles on a condition variable when there is no work — an
     idle server burns no TPU cycles.
-  * Works with every weight layout the engine serves (bf16 stacked via
-    ContinuousBatcher semantics is NOT used here — the ring design works
-    for both the unrolled int8/int4 and stacked bf16 layouts).
+  * Works with both serving weight layouts (unrolled int8/int4 and stacked
+    bf16) — the ring design is layout-agnostic.
 """
 from __future__ import annotations
 
 import threading
+from concurrent.futures import Future
 from typing import Dict, List, Optional
 
 from ..decode.continuous import RingBatcher
 from ..decode.engine import DecodeParams
 from ..models.llama import LlamaConfig
 from ..ops.layers import DTypePolicy, FP32
-
-
-class ServeFuture:
-    """Resolved by the stepper thread when the session finishes."""
-
-    def __init__(self, sid: int):
-        self.sid = sid
-        self._done = threading.Event()
-        self._tokens: Optional[List[int]] = None
-
-    def done(self) -> bool:
-        return self._done.is_set()
-
-    def result(self, timeout: Optional[float] = None) -> List[int]:
-        if not self._done.wait(timeout):
-            raise TimeoutError(f"session {self.sid} not finished")
-        assert self._tokens is not None
-        return self._tokens
-
-    def _resolve(self, tokens: List[int]) -> None:
-        self._tokens = tokens
-        self._done.set()
 
 
 class RaDialogServer:
@@ -74,20 +58,23 @@ class RaDialogServer:
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._pending: List[tuple] = []      # (future, prompt, img, max_new)
-        self._futures: Dict[int, ServeFuture] = {}
+        self._futures: Dict[int, Future] = {}
         self._stop = False
+        self._dead: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, name="radialog-serve",
                                         daemon=True)
         self._thread.start()
 
     # ------------------------------------------------------------- clients
     def submit(self, prompt_ids: List[int], img_embs=None,
-               max_new_tokens: Optional[int] = None) -> ServeFuture:
+               max_new_tokens: Optional[int] = None) -> "Future[List[int]]":
         """Queue a request from any thread; returns its future."""
-        fut = ServeFuture(sid=-1)
+        fut: Future = Future()
         with self._work:
             if self._stop:
                 raise RuntimeError("server is shut down")
+            if self._dead is not None:
+                raise RuntimeError("server died") from self._dead
             self._pending.append((fut, list(prompt_ids), img_embs,
                                   max_new_tokens))
             self._work.notify()
@@ -107,6 +94,28 @@ class RaDialogServer:
         self._thread.join(timeout)
 
     # ------------------------------------------------------------- stepper
+    def _admit_pending(self, pending) -> None:
+        rb = self._rb
+        for fut, prompt, img, max_new in pending:
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                # validate HERE: rb.submit only queues; _admit's raise
+                # inside rb.step() would take down the shared loop
+                rb.validate_request(len(prompt), max_new)
+                sid = rb.submit(prompt, img_embs=img, max_new_tokens=max_new)
+            except Exception as exc:  # per-request validation error
+                fut.set_exception(exc)
+                continue
+            self._futures[sid] = fut
+
+    def _resolve_finished(self) -> None:
+        rb = self._rb
+        for sid in [s for s in self._futures if s in rb.finished]:
+            # pop from rb.finished too: retaining every Session (tokens +
+            # img_embs device array) would grow memory forever
+            self._futures.pop(sid).set_result(rb.finished.pop(sid).tokens)
+
     def _run(self) -> None:
         rb = self._rb
         while True:
@@ -118,14 +127,17 @@ class RaDialogServer:
                         and rb.active_lanes == 0):
                     return
                 pending, self._pending = self._pending, []
-            for fut, prompt, img, max_new in pending:
-                sid = rb.submit(prompt, img_embs=img,
-                                max_new_tokens=max_new)
-                fut.sid = sid
-                self._futures[sid] = fut
-            rb.step()
+            self._admit_pending(pending)
+            try:
+                rb.step()       # requests were pre-validated, so an error
+            except Exception as exc:  # here is shared-state damage: fatal
+                with self._work:
+                    self._dead = exc
+                for fut in self._futures.values():
+                    fut.set_exception(exc)
+                self._futures.clear()
+                return
             # resolve via rb.finished, not step()'s return value: a session
             # can also finish at ADMISSION (EOS as its first token), which
             # step()'s newly-finished list does not include
-            for sid in [s for s in self._futures if s in rb.finished]:
-                self._futures.pop(sid)._resolve(rb.finished[sid].tokens)
+            self._resolve_finished()

@@ -192,9 +192,11 @@ class ContinuousBatcher:
             lane = self.lane_session.index(None)
             t = len(sess.prompt_ids)
             tpad = _bucket32(t)
-            if t + sess.max_new_tokens > self.cache_len:
+            # guard on the BUCKETED prompt: prefill writes tpad rows
+            if tpad > self.cache_len or t + sess.max_new_tokens > self.cache_len:
                 raise ValueError(
-                    f"request needs {t}+{sess.max_new_tokens} slots > "
+                    f"request needs max(bucketed prompt {tpad}, "
+                    f"{t}+{sess.max_new_tokens}) slots > "
                     f"cache_len {self.cache_len}")
             padded = sess.prompt_ids + [self.cfg.pad_token_id] * (tpad - t)
             self.cache, first = self._prefill_fn(
@@ -351,10 +353,7 @@ class RingBatcher:
     # ------------------------------------------------------------- interface
     submit = ContinuousBatcher.submit
     run = ContinuousBatcher.run
-
-    @property
-    def active_lanes(self) -> int:
-        return sum(s is not None for s in self.lane_session)
+    active_lanes = ContinuousBatcher.active_lanes
 
     def step(self) -> List[int]:
         """One jit call = steps_per_call decode steps for every active lane
@@ -395,20 +394,29 @@ class RingBatcher:
         return newly_finished
 
     # -------------------------------------------------------------- internals
+    def validate_request(self, n_prompt_tokens: int,
+                         max_new_tokens: Optional[int] = None) -> None:
+        """Raise ValueError if a request cannot be admitted (also usable by
+        callers BEFORE submit() — apps/serve.py rejects per-request instead
+        of letting _admit's raise take down a shared step loop)."""
+        tpad = _bucket32(n_prompt_tokens)
+        if tpad > self.prompt_len:
+            raise ValueError(
+                f"prompt needs {tpad} slots > prompt region "
+                f"{self.prompt_len}")
+        max_new = (self.dp.max_new_tokens if max_new_tokens is None
+                   else max_new_tokens)
+        if max_new >= self.ring_len:
+            raise ValueError(
+                f"max_new_tokens {max_new} >= ring {self.ring_len}")
+
     def _admit(self) -> None:
         while self.queue and self.active_lanes < self.lanes:
             sess = self.queue.popleft()
             lane = self.lane_session.index(None)
             t = len(sess.prompt_ids)
             tpad = _bucket32(t)
-            if tpad > self.prompt_len:
-                raise ValueError(
-                    f"prompt needs {tpad} slots > prompt region "
-                    f"{self.prompt_len}")
-            if sess.max_new_tokens >= self.ring_len:
-                raise ValueError(
-                    f"max_new_tokens {sess.max_new_tokens} >= ring "
-                    f"{self.ring_len}")
+            self.validate_request(t, sess.max_new_tokens)
             padded = sess.prompt_ids + [self.cfg.pad_token_id] * (tpad - t)
             self.cache, self.valid, first = self._prefill_fn(
                 self.params, self.lora, self.cache, self.valid,

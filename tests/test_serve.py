@@ -50,6 +50,25 @@ def test_concurrent_clients_match_serial():
         assert results[i] == _serial(prompt, 6), i
 
 
+def test_bad_request_fails_its_future_only():
+    """An oversized prompt rejects THAT request via its future; the server
+    keeps serving others, and resolved sessions are released from the
+    batcher (no unbounded finished-session growth)."""
+    srv = RaDialogServer(PARAMS, CFG, lanes=1, cache_len=96, prompt_len=32,
+                         dp=DecodeParams(max_new_tokens=4, eos_token_id=1),
+                         steps_per_call=2)
+    bad = srv.submit(_prompt(40, 80))        # buckets to 64 > prompt region
+    good = srv.submit(_prompt(5, 81))
+    try:
+        bad.result(timeout=300)
+        raise AssertionError("expected ValueError from the bad request")
+    except ValueError:
+        pass
+    assert good.result(timeout=300) == _serial(_prompt(5, 81), 4)
+    assert not srv._rb.finished              # resolved sessions released
+    srv.shutdown()
+
+
 def test_submit_after_shutdown_raises():
     srv = RaDialogServer(PARAMS, CFG, lanes=1, cache_len=96, prompt_len=32,
                          dp=DecodeParams(max_new_tokens=4, eos_token_id=1))
