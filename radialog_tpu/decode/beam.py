@@ -160,6 +160,11 @@ def beam_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
     if cache.quantized:
         raise ValueError("beam search uses the bf16 KV cache (quality path); "
                          "prefill with kv_int8=False")
+    if dp.do_sample:
+        raise NotImplementedError(
+            "beam search is deterministic (length-penalized greedy over "
+            "beams); do_sample=True with num_beams>1 is not supported — "
+            "silent fallback would return identical 'sampled' outputs")
     b = first_logits.shape[0]
     k = num_beams
     max_new = dp.max_new_tokens
@@ -188,7 +193,13 @@ def beam_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
 
     def cond(st):
         step, done = st[0], st[6]
-        return (step < max_new) & ~done.all()
+        # step+1 (not step): body(step) emits out[:, step+1]. With
+        # `step < max_new` the final iteration scores and REORDERS beams by
+        # a phantom max_new+1-th token whose output write is dropped —
+        # returned hypotheses/scores would disagree with the emitted tokens
+        # (and length-normalization would divide a (max_new+1)-token score
+        # by max_new).
+        return (step + 1 < max_new) & ~done.all()
 
     def body(st):
         step, gk, gv, out, scores, last_tok, done = st

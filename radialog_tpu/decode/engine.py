@@ -153,7 +153,13 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
 
     def cond(st):
         step, _, _, done, _, _ = st
-        return (step < max_new) & ~done.all()
+        # step+1: body(step) emits out[:, step+1] — slot 0 already holds the
+        # prefill token, so only max_new-1 body iterations produce output.
+        # `step < max_new` would run one PHANTOM step whose token lands in a
+        # dropped out-of-bounds write: a wasted full forward per generate.
+        # (Session continuation is unaffected: decode/session.py already
+        # treats the final token's KV as pending, not written.)
+        return (step + 1 < max_new) & ~done.all()
 
     def body(st):
         step, cache, out, done, last_tok, key = st

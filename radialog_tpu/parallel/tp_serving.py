@@ -247,28 +247,47 @@ def tp_generate(mesh: Mesh, gparams: Dict, param_specs: Dict,
     tokens (B, T) right-padded / lengths (B,) / img_embs (B, n_img, q_dim)
     are GLOBAL host arrays; B must divide by the data axis. Greedy only —
     per-shard RNG streams under sampling are a separate design decision.
+
+    One-shot convenience: it builds a FRESH jitted program per call (the
+    jit cache keys on the function object), so a serving loop should call
+    ``make_tp_generate`` once and reuse the returned callable — otherwise
+    every request retraces (and cold-compiles without a persistent cache).
     """
+    fn = make_tp_generate(mesh, param_specs, cfg, dp,
+                          has_img=img_embs is not None,
+                          lora_specs=lora_specs if glora is not None else None,
+                          policy=policy, cache_len=cache_len,
+                          kv_int8=kv_int8)
+    return fn(gparams, tokens, lengths, img_embs=img_embs, glora=glora)
+
+
+def make_tp_generate(mesh: Mesh, param_specs: Dict, cfg: LlamaConfig,
+                     dp: DecodeParams = DecodeParams(), *,
+                     has_img: bool = False,
+                     lora_specs: Optional[Dict] = None,
+                     policy: DTypePolicy = BF16,
+                     cache_len: Optional[int] = None,
+                     kv_int8: bool = True):
+    """Compile-once factory for the sharded serving step: returns
+    fn(gparams, tokens, lengths, img_embs=None, glora=None) ->
+    GenerationResult. Reuse the SAME returned callable across requests —
+    the jit cache then hits on every call after the first per token shape."""
     if dp.do_sample:
         raise NotImplementedError("tp_generate is greedy/beamless")
     n_model = mesh.shape[MODEL_AXIS]
     cfg_local = shard_config(cfg, n_model)
-    t = tokens.shape[1]
     clen = cache_len
-    has_img = img_embs is not None
-    has_lora = glora is not None
+    has_lora = lora_specs is not None
 
     data_spec = P(DATA_AXIS)
     tok_spec = P(DATA_AXIS, None)
     img_spec = P(DATA_AXIS, None, None)
 
     in_specs = [param_specs, tok_spec, data_spec]
-    args = [gparams, jnp.asarray(tokens), jnp.asarray(lengths)]
     if has_img:
         in_specs.append(img_spec)
-        args.append(jnp.asarray(img_embs))
     if has_lora:
         in_specs.append(lora_specs)
-        args.append(glora)
 
     def body(params, tokens, lengths, *rest):
         rest = list(rest)
@@ -282,7 +301,21 @@ def tp_generate(mesh: Mesh, gparams: Dict, param_specs: Dict,
                        axis_name=MODEL_AXIS)
         return res.tokens, res.lengths, res.prompt_lengths
 
-    fn = _shard_map(body, mesh, tuple(in_specs),
-                    (tok_spec, data_spec, data_spec))
-    toks, glens, plens = jax.jit(fn)(*args)
-    return GenerationResult(toks, glens, plens)
+    jit_fn = jax.jit(_shard_map(body, mesh, tuple(in_specs),
+                                (tok_spec, data_spec, data_spec)))
+
+    def run(gparams, tokens, lengths, img_embs=None, glora=None
+            ) -> GenerationResult:
+        args = [gparams, jnp.asarray(tokens), jnp.asarray(lengths)]
+        if has_img:
+            if img_embs is None:
+                raise ValueError("factory built with has_img=True")
+            args.append(jnp.asarray(img_embs))
+        if has_lora:
+            if glora is None:
+                raise ValueError("factory built with lora_specs")
+            args.append(glora)
+        toks, glens, plens = jit_fn(*args)
+        return GenerationResult(toks, glens, plens)
+
+    return run

@@ -18,7 +18,7 @@ import optax
 
 from ..models.blip2 import Blip2Config, blip2_stage1_losses, blip2_trunk_tokens
 from ..models.llama import LlamaConfig, find_img_start, llama_apply, prefill_bias
-from ..ops.augment import augment_cxr
+from ..ops.augment import augment_cxr_batch
 from ..ops.layers import DTypePolicy, FP32, layernorm
 
 IGNORE_INDEX = -100  # HF convention, finetune.py:283-307 masks prompt tokens
@@ -136,8 +136,7 @@ def make_stage1_raw_train_step(tx: optax.GradientTransformation,
         images = batch["images"]
         if augment:
             rng, ka = jax.random.split(rng)
-            keys = jax.random.split(ka, images.shape[0])
-            images = jax.vmap(augment_cxr)(images, keys)
+            images = augment_cxr_batch(images, ka)
         tokens = jax.lax.stop_gradient(
             blip2_trunk_tokens(visual_params, visual_state, images, policy))
         image_embeds = layernorm(params["ln_vision"], tokens)
