@@ -46,15 +46,29 @@ class RaDialogServer:
     >>> srv.shutdown()
     """
 
-    def __init__(self, params: Dict, cfg: LlamaConfig, lanes: int = 8,
+    def __init__(self, params: Optional[Dict] = None,
+                 cfg: Optional[LlamaConfig] = None, lanes: int = 8,
                  cache_len: int = 512, prompt_len: int = 256,
                  dp: DecodeParams = DecodeParams(),
                  lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
-                 steps_per_call: int = 8, donate_cache: bool = True):
-        self._rb = RingBatcher(params, cfg, lanes=lanes, cache_len=cache_len,
-                               prompt_len=prompt_len, dp=dp, lora=lora,
-                               policy=policy, steps_per_call=steps_per_call,
-                               donate_cache=donate_cache)
+                 steps_per_call: int = 8, donate_cache: bool = True,
+                 batcher: Optional[RingBatcher] = None):
+        # ``batcher``: serve a pre-built scheduler instead — e.g. the
+        # TP-sharded parallel/tp_ring.TPRingBatcher (same host interface);
+        # mutually exclusive with params/cfg.
+        if batcher is not None:
+            if params is not None or cfg is not None:
+                raise ValueError("pass either batcher= or params+cfg, not both")
+            self._rb = batcher
+        elif params is None or cfg is None:
+            raise ValueError("params and cfg are required without batcher=")
+        else:
+            self._rb = RingBatcher(params, cfg, lanes=lanes,
+                                   cache_len=cache_len,
+                                   prompt_len=prompt_len, dp=dp, lora=lora,
+                                   policy=policy,
+                                   steps_per_call=steps_per_call,
+                                   donate_cache=donate_cache)
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._pending: List[tuple] = []      # (future, prompt, img, max_new)

@@ -278,7 +278,8 @@ class RingBatcher:
         self.lanes, self.cache_len, self.dp = lanes, cache_len, dp
         self.prompt_len, self.ring_len = prompt_len, ring_len
         self.steps_per_call = k
-        self.cache = init_cache(cfg, lanes, cache_len)
+        self.donate_cache = donate_cache
+        self.cache = self._make_cache()
         self.valid = jnp.zeros((lanes, cache_len), jnp.bool_)
         self.ring_pos = 0                           # host ring counter
         self.cur_lens = np.zeros(lanes, np.int32)   # true token positions
@@ -288,7 +289,17 @@ class RingBatcher:
         self.queue: deque[Session] = deque()
         self.finished: Dict[int, Session] = {}
         self._ids = itertools.count()
+        self._build_fns()
 
+    # Overridable hooks: parallel/tp_ring.py TPRingBatcher reuses the whole
+    # host admit/evict loop and swaps only the device programs (shard_map
+    # over a TP mesh) and the cache placement (heads sharded over `model`).
+    def _make_cache(self):
+        return init_cache(self.cfg, self.lanes, self.cache_len)
+
+    def _build_fns(self) -> None:
+        cfg, prompt_len, ring_len = self.cfg, self.prompt_len, self.ring_len
+        k, donate_cache = self.steps_per_call, self.donate_cache
         NEG = -1e30
 
         # params/lora as jit ARGUMENTS, cache/valid donated by default (see
