@@ -99,6 +99,84 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     return cache, logits[:, 0]
 
 
+def prefix_kv(params: Dict, cfg: LlamaConfig, prefix_tokens: jax.Array,
+              lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
+              axis_name: Optional[str] = None) -> KVCache:
+    """Prefill a batch-wide shared prompt prefix ONCE.
+
+    prefix_tokens (P0,) -> KVCache with k/v (L, P0, Hkv, D): the per-layer
+    K/V that ``generate_shared_prefix`` merges into every sequence's
+    attention. Unrolled serving layout only."""
+    p0 = prefix_tokens.shape[0]
+    ln = jnp.full((1,), p0, jnp.int32)
+    _, fresh = llama_apply(
+        params, cfg, prefix_tokens[None], jnp.arange(p0)[None],
+        prefill_bias(ln, p0), cache=None, lora=lora, policy=policy,
+        lengths=ln, axis_name=axis_name, last_pos=jnp.zeros((1,), jnp.int32))
+    return KVCache(fresh.k[:, 0], fresh.v[:, 0])
+
+
+def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
+                           prefix_tokens: jax.Array, tokens: jax.Array,
+                           lengths: jax.Array,
+                           dp: DecodeParams = DecodeParams(),
+                           img_embs: Optional[jax.Array] = None,
+                           lora: Optional[Dict] = None,
+                           policy: DTypePolicy = FP32,
+                           cache_len: Optional[int] = None,
+                           axis_name: Optional[str] = None
+                           ) -> GenerationResult:
+    """generate() for a batch whose prompts share a literal common token
+    prefix (the RaDialog report template: system prompt + instruction
+    boilerplate are identical across requests, data/conversation.py).
+
+    prefix_tokens (P0,): the shared prefix, prefilled ONCE (batch-free);
+    tokens (B, T1): per-sequence REMAINDERS, right-padded; lengths (B,):
+    remainder lengths (>= 1 — the last prompt token must be per-sequence so
+    each row gets its own first logits). The <IMG> run lives in the
+    remainder (image embeddings are per-request).
+
+    Vs plain generate(concat(prefix, remainder)): identical greedy math
+    (one softmax over the concatenated score row — ops/attention.py
+    mha_shared_prefix), but the prefix K/V is stored once and read once
+    per decode step instead of once per lane, and the per-lane cache
+    shrinks by P0 slots. Serving is bandwidth-bound (docs/PERF.md), so
+    both effects are throughput: ~B*P0 fewer KV rows per step, and the
+    smaller cache moves the batch-size OOM wall out.
+
+    Unrolled serving layout + bf16 KV cache only (the serving default)."""
+    if not isinstance(params["layers"], (list, tuple)):
+        raise ValueError("prefix sharing is a serving feature of the "
+                         "unrolled weight layout (quantize_llama_host)")
+    b, t1 = tokens.shape
+    p0 = prefix_tokens.shape[0]
+    if cache_len is None:
+        cache_len = bucket_length(t1 + dp.max_new_tokens)
+    if img_embs is not None and img_embs.shape[1] != cfg.num_img_tokens:
+        raise ValueError(
+            f"img_embs provides {img_embs.shape[1]} embeddings but the "
+            f"prompt contract reserves {cfg.num_img_tokens} <IMG> slots")
+    shared = prefix_kv(params, cfg, prefix_tokens, lora=lora, policy=policy,
+                       axis_name=axis_name)
+    cache = init_cache(cfg, b, cache_len, quantized=False)
+    positions = p0 + jnp.arange(t1)[None, :].repeat(b, 0)
+    bias = prefill_bias(lengths, t1)
+    img_start = (find_img_start(tokens, cfg.img_token_id)
+                 if img_embs is not None else None)
+    logits, cache = llama_apply(params, cfg, tokens, positions, bias,
+                                cache=cache, write_pos=0, img_embs=img_embs,
+                                img_start=img_start, lora=lora, policy=policy,
+                                lengths=lengths, axis_name=axis_name,
+                                last_pos=lengths - 1, shared_kv=shared)
+    return decode_loop(params, cfg, cache, logits[:, 0], lengths, dp,
+                       lora=lora, policy=policy, prompt_pad=t1,
+                       axis_name=axis_name, shared_kv=shared, pos_offset=p0)
+
+
+generate_shared_jit = partial(jax.jit, static_argnames=(
+    "cfg", "dp", "cache_len", "policy"))(generate_shared_prefix)
+
+
 def _select_token(logits: jax.Array, dp: DecodeParams, key) -> jax.Array:
     if dp.do_sample:
         return jax.random.categorical(key, logits / jnp.maximum(dp.temperature, 1e-6), axis=-1)
@@ -110,18 +188,25 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
                 dp: DecodeParams, lora: Optional[Dict] = None,
                 policy: DTypePolicy = FP32,
                 prompt_pad: Optional[int] = None,
-                axis_name: Optional[str] = None) -> GenerationResult:
+                axis_name: Optional[str] = None,
+                shared_kv: Optional[KVCache] = None,
+                pos_offset: int = 0) -> GenerationResult:
     """Greedy/sampled decode with early exit once all sequences emit EOS.
 
     Static-slot KV writes: step s writes every sequence's K/V at slot
     prompt_pad + s (one contiguous dynamic_update_slice, aliased in place by
     XLA) while RoPE positions and attention masks stay per-sequence — the
     pad gap between len_i and prompt_pad is masked (decode_bias_static_slot).
+
+    shared_kv/pos_offset: prefix-sharing mode (generate_shared_prefix) —
+    prompt_lengths/prompt_pad then describe the per-lane REMAINDER region
+    and RoPE positions are offset by the shared prefix length.
     """
     res, _ = _decode_loop_with_cache(params, cfg, cache, first_logits,
                                      prompt_lengths, dp, lora=lora,
                                      policy=policy, prompt_pad=prompt_pad,
-                                     axis_name=axis_name)
+                                     axis_name=axis_name, shared_kv=shared_kv,
+                                     pos_offset=pos_offset)
     return res
 
 
@@ -130,7 +215,9 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
                             dp: DecodeParams, lora: Optional[Dict] = None,
                             policy: DTypePolicy = FP32,
                             prompt_pad: Optional[int] = None,
-                            axis_name: Optional[str] = None):
+                            axis_name: Optional[str] = None,
+                            shared_kv: Optional[KVCache] = None,
+                            pos_offset: int = 0):
     """decode_loop returning (result, final_cache). The cache output is what
     makes the two-phase donation real: XLA input-output aliasing needs an
     output buffer matching the donated input, otherwise the donation is
@@ -163,14 +250,15 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
 
     def body(st):
         step, cache, out, done, last_tok, key = st
-        # RoPE position of the current token: prompt_len + step (per-seq)
-        pos = (prompt_lengths + step)[:, None]
+        # RoPE position of the current token: prompt_len + step (per-seq;
+        # + the shared prefix length in prefix-sharing mode)
+        pos = (prompt_lengths + pos_offset + step)[:, None]
         bias = decode_bias_static_slot(prompt_lengths, prompt_pad, step, s_max)
         logits, cache = llama_apply(
             params, cfg, last_tok[:, None], pos, bias, cache=cache,
             write_pos=prompt_pad + step, lora=lora, policy=policy,
             lengths=prompt_lengths, slot_info=(prompt_pad, step),
-            axis_name=axis_name)
+            axis_name=axis_name, shared_kv=shared_kv)
         key, sub = jax.random.split(key)
         nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
         nxt = jnp.where(done, dp.eos_token_id, nxt)

@@ -33,7 +33,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import NEG_INF, mha
+from ..ops.attention import NEG_INF, mha, mha_shared_prefix
 from ..ops.layers import DTypePolicy, FP32, embedding_lookup, linear, rmsnorm
 from ..ops.rotary import apply_rope, rope_tables
 
@@ -248,11 +248,16 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      policy: DTypePolicy,
                      direct_cache=None,
                      lengths: Optional[jax.Array] = None,
-                     slot_info=None):
+                     slot_info=None,
+                     shared_layer=None):
     """One layer's attention. cache_layer: (B,S,H,D) k/v for this layer, or
     None at prefill (fresh K/V are returned for bulk cache install);
     direct_cache: (ck_full, cv_full, static layer idx) for the unrolled
-    serving path."""
+    serving path; shared_layer: (k0, v0) each (P0, Hkv, D) — this layer's
+    KV for a batch-wide shared prompt prefix (prefix-sharing serving,
+    decode/engine.py generate_shared_prefix): attention merges
+    [shared | per-lane] via one softmax, reading the prefix bytes once per
+    step instead of once per lane."""
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     q, k, v = qkv_proj(lp, lora_layer, lora_scale, cfg, x, policy)
@@ -266,6 +271,11 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
         # in-place dynamic_update_slice. (The scan path's slice-out /
         # modify / write-back costs two 50MB copies per layer per step.)
         full_cache, layer_idx = direct_cache
+        if shared_layer is not None and full_cache.quantized:
+            raise ValueError("prefix sharing requires the bf16 KV cache "
+                             "(the serving default); kv_int8 reads go "
+                             "through the flash-decode kernel which has no "
+                             "shared-region support")
         if full_cache.quantized:
             k8, ks = quantize_kv(k)
             v8, vs = quantize_kv(v)
@@ -309,6 +319,14 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
             full_cache.v, v[None].astype(full_cache.v.dtype),
             (layer_idx, 0, write_pos, 0, 0))
         new_cache_layer = KVCache(ck_full, cv_full)
+        if shared_layer is not None:
+            k0, v0 = shared_layer
+            k0 = k0.astype(x.dtype)
+            v0 = v0.astype(x.dtype)
+            if nkv != nh:
+                rep = nh // nkv
+                k0 = jnp.repeat(k0, rep, axis=1)
+                v0 = jnp.repeat(v0, rep, axis=1)
         if t > 1:
             # DIRECT PREFILL into the bf16 cache: attend this layer's own
             # fresh K/V in the compute dtype (numerics identical to the
@@ -320,12 +338,26 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                 rep = nh // nkv
                 k_loc = jnp.repeat(k_loc, rep, axis=2)
                 v_loc = jnp.repeat(v_loc, rep, axis=2)
-            o = mha(q, k_loc, v_loc, bias=bias[..., :t]).reshape(b, t, nh * hd)
+            if shared_layer is not None:
+                o = mha_shared_prefix(q, k0, v0, k_loc, v_loc,
+                                      bias1=bias[..., :t])
+            else:
+                o = mha(q, k_loc, v_loc, bias=bias[..., :t])
+            o = o.reshape(b, t, nh * hd)
             return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
                     new_cache_layer)
         # static layer slice: fuses into the attention matmul, no copy
         k_all = ck_full[layer_idx].astype(x.dtype)
         v_all = cv_full[layer_idx].astype(x.dtype)
+        if shared_layer is not None:
+            if nkv != nh:
+                rep = nh // nkv
+                k_all = jnp.repeat(k_all, rep, axis=2)
+                v_all = jnp.repeat(v_all, rep, axis=2)
+            o = mha_shared_prefix(q, k0, v0, k_all, v_all, bias1=bias
+                                  ).reshape(b, t, nh * hd)
+            return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
+                    new_cache_layer)
     elif cache_layer is not None:
         if jnp.ndim(write_pos) == 0:
             # static-slot decode: every sequence writes the SAME slot, so the
@@ -449,8 +481,14 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 lengths: Optional[jax.Array] = None,
                 slot_info=None,
                 axis_name: Optional[str] = None,
-                last_pos: Optional[jax.Array] = None):
+                last_pos: Optional[jax.Array] = None,
+                shared_kv: Optional[KVCache] = None):
     """Core transformer. Returns (logits, new_cache).
+    shared_kv: (L, P0, Hkv, D) k/v of a batch-wide shared prompt prefix
+    (unrolled serving layout + bf16 cache only) — each layer's attention
+    merges [shared | per-lane] regions in one softmax so the prefix bytes
+    are read once per decode step, not once per lane
+    (decode/engine.py generate_shared_prefix).
     last_pos: (B,) int — when given, logits are computed ONLY at these
     positions (returned shape (B, 1, V)); used by prefill to skip the
     (B, T, V) full-prompt vocab projection.
@@ -485,16 +523,22 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         # HBM->HBM copy of every layer's weights each step (profiled at
         # ~8.5ms/step for Vicuna-7B on v5e) because custom-calls cannot
         # consume fused slices.
+        if shared_kv is not None and cache is None:
+            raise ValueError("shared_kv requires a pre-allocated per-lane "
+                             "cache (the direct serving path)")
         cur_cache = cache
         fresh_k, fresh_v = [], []
         for i, lp in enumerate(params["layers"]):
             ll = _index_lora(lora_layers, i)
             h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
             direct = (cur_cache, i) if cache is not None else None
+            shared_layer = ((shared_kv.k[i], shared_kv.v[i])
+                            if shared_kv is not None else None)
             attn_out, cache_out = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
                 None, write_pos, policy, direct_cache=direct,
-                lengths=lengths, slot_info=slot_info)
+                lengths=lengths, slot_info=slot_info,
+                shared_layer=shared_layer)
             if cache is not None:
                 cur_cache = cache_out
             else:
@@ -508,6 +552,10 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             return logits, cur_cache
         return logits, KVCache(jnp.stack(fresh_k), jnp.stack(fresh_v))
 
+    if shared_kv is not None:
+        raise ValueError("shared_kv (prefix sharing) is a serving feature "
+                         "of the unrolled weight layout; the stacked scan "
+                         "path has no per-layer merge point")
     if cache is not None:
         if cache.quantized:
             raise ValueError(

@@ -39,6 +39,44 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.astype(q.dtype)
 
 
+def mha_shared_prefix(q: jax.Array, k0: jax.Array, v0: jax.Array,
+                      k1: jax.Array, v1: jax.Array,
+                      bias1: Optional[jax.Array] = None,
+                      scale: Optional[float] = None) -> jax.Array:
+    """Attention over [SHARED prefix | per-sequence region] without ever
+    materializing a per-sequence copy of the prefix K/V.
+
+    q (B,T,H,D); k0/v0 (P0,H,D) — one prefix, shared by every batch row (a
+    literal common token prefix, so it is unconditionally attendable: every
+    query position is >= P0 and causality over it is trivial); k1/v1
+    (B,S1,H,D) per-sequence; bias1 broadcastable to (B,H,T,S1) masks only
+    the per-sequence region.
+
+    Softmax runs over the CONCATENATED scores, so the result equals
+    ``mha(q, concat([prefix, own]), ...)`` exactly up to the f32 summation
+    split at the P0 boundary in the value pass (two einsums instead of
+    one). The point is HBM traffic: a decode step reads the prefix K/V
+    bytes ONCE instead of B times (docs/PERF.md — serving is
+    bandwidth-bound, and the prefix is ~20-45%% of the live cache for the
+    RaDialog report prompt).
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    s0 = jnp.einsum("bthd,phd->bhtp", q, k0,
+                    preferred_element_type=jnp.float32) * scale
+    s1 = jnp.einsum("bthd,bshd->bhts", q, k1,
+                    preferred_element_type=jnp.float32) * scale
+    if bias1 is not None:
+        s1 = s1 + bias1.astype(jnp.float32)
+    p = jax.nn.softmax(jnp.concatenate([s0, s1], axis=-1), axis=-1)
+    p0, p1 = p[..., : k0.shape[0]], p[..., k0.shape[0]:]
+    out = (jnp.einsum("bhtp,phd->bthd", p0.astype(v0.dtype), v0,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhts,bshd->bthd", p1.astype(v1.dtype), v1,
+                        preferred_element_type=jnp.float32))
+    return out.astype(q.dtype)
+
+
 def causal_mask_bias(q_len: int, kv_len: int, offset: int = 0,
                      dtype=jnp.float32) -> jax.Array:
     """(1,1,q_len,kv_len) additive causal bias. Query i (at absolute position

@@ -1,0 +1,107 @@
+"""Prefix-sharing serving path (decode/engine.py generate_shared_prefix).
+
+RaDialog's report prompts share a literal common token prefix (the system
+prompt + instruction boilerplate, data/conversation.py — reference
+vicuna_prompts.json). The shared-prefix engine prefills that prefix ONCE and
+merges [shared | per-lane] regions in every attention; these tests pin the
+contract: token-exact equality with plain generate() on the concatenated
+prompts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radialog_tpu.decode.engine import (DecodeParams, generate,
+                                        generate_shared_prefix)
+from radialog_tpu.models.llama import TINY_LLAMA, llama_init, lora_init
+from radialog_tpu.ops.attention import causal_mask_bias, mha, mha_shared_prefix
+from radialog_tpu.ops.quant import quantize_llama_host
+
+CFG = TINY_LLAMA
+RNG = np.random.default_rng(7)
+
+
+def _unrolled_params():
+    p = llama_init(jax.random.PRNGKey(0), CFG)
+    return quantize_llama_host(jax.tree_util.tree_map(np.asarray, p))
+
+
+def test_mha_shared_prefix_matches_concat():
+    b, t, h, d, p0, s1 = 2, 3, 4, 8, 5, 6
+    q = jnp.asarray(RNG.normal(size=(b, t, h, d)), jnp.float32)
+    k0 = jnp.asarray(RNG.normal(size=(p0, h, d)), jnp.float32)
+    v0 = jnp.asarray(RNG.normal(size=(p0, h, d)), jnp.float32)
+    k1 = jnp.asarray(RNG.normal(size=(b, s1, h, d)), jnp.float32)
+    v1 = jnp.asarray(RNG.normal(size=(b, s1, h, d)), jnp.float32)
+    bias1 = causal_mask_bias(t, s1, offset=s1 - t)
+    got = mha_shared_prefix(q, k0, v0, k1, v1, bias1=bias1)
+    # reference: one softmax over the concatenated KV, prefix unmasked
+    k_cat = jnp.concatenate([jnp.broadcast_to(k0, (b, p0, h, d)), k1], axis=1)
+    v_cat = jnp.concatenate([jnp.broadcast_to(v0, (b, p0, h, d)), v1], axis=1)
+    bias_cat = jnp.concatenate(
+        [jnp.zeros((1, 1, t, p0)), jnp.broadcast_to(bias1, (1, 1, t, s1))],
+        axis=-1)
+    want = mha(q, k_cat, v_cat, bias=bias_cat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _concat_prompts(prefix, remainders, rem_lens):
+    """Right-padded (B, P0+T1) concatenated prompts + their true lengths."""
+    b, t1 = remainders.shape
+    p0 = prefix.shape[0]
+    full = np.zeros((b, p0 + t1), np.int64)
+    for i in range(b):
+        full[i, :p0] = prefix
+        full[i, p0:p0 + rem_lens[i]] = remainders[i, :rem_lens[i]]
+    return jnp.asarray(full), jnp.asarray([p0 + int(n) for n in rem_lens])
+
+
+def test_shared_prefix_tokens_exact():
+    qp = _unrolled_params()
+    prefix = RNG.integers(3, 200, size=(6,))
+    rems = RNG.integers(3, 200, size=(3, 5))
+    rem_lens = [5, 3, 4]
+    for i, n in enumerate(rem_lens):
+        rems[i, n:] = 0
+    dp = DecodeParams(max_new_tokens=6, eos_token_id=1)
+    full, full_lens = _concat_prompts(prefix, rems, rem_lens)
+    ref = generate(qp, CFG, full, full_lens, dp, cache_len=32)
+    got = generate_shared_prefix(qp, CFG, jnp.asarray(prefix),
+                                 jnp.asarray(rems), jnp.asarray(rem_lens),
+                                 dp, cache_len=32)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                  np.asarray(got.lengths))
+
+
+def test_shared_prefix_with_image_splice():
+    """The <IMG> run lives in the per-request remainder."""
+    qp = _unrolled_params()
+    n_img = CFG.num_img_tokens
+    prefix = RNG.integers(3, 200, size=(4,))
+    t1 = n_img + 4
+    rems = np.full((2, t1), 5, np.int64)
+    rems[:, 1:1 + n_img] = CFG.img_token_id
+    rem_lens = [t1, t1]
+    embs = jnp.asarray(RNG.normal(size=(2, n_img, CFG.qformer_dim)),
+                       jnp.float32)
+    lora = lora_init(jax.random.PRNGKey(1), CFG)  # carries img_proj_layer
+    dp = DecodeParams(max_new_tokens=5, eos_token_id=1)
+    full, full_lens = _concat_prompts(prefix, rems, rem_lens)
+    ref = generate(qp, CFG, full, full_lens, dp, img_embs=embs, lora=lora,
+                   cache_len=32)
+    got = generate_shared_prefix(qp, CFG, jnp.asarray(prefix),
+                                 jnp.asarray(rems), jnp.asarray(rem_lens),
+                                 dp, img_embs=embs, lora=lora, cache_len=32)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+
+
+def test_shared_prefix_rejects_stacked_layout():
+    p = llama_init(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(ValueError, match="unrolled"):
+        generate_shared_prefix(p, CFG, jnp.arange(4), jnp.ones((1, 3), jnp.int32),
+                               jnp.asarray([3]), DecodeParams(max_new_tokens=2))

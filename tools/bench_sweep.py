@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--two-phase", action="store_true",
                     help="prefill/decode as separate executables with a "
                          "donated cache (engine.generate_two_phase)")
+    ap.add_argument("--shared-prefix", type=int, default=0, metavar="P0",
+                    help="treat the first P0 prompt tokens as a batch-wide "
+                         "shared prefix prefilled ONCE "
+                         "(engine.generate_shared_prefix); the <IMG> run "
+                         "moves into the per-lane remainder and the per-lane "
+                         "cache shrinks by P0 slots. bf16 KV only.")
     ap.add_argument("--profile-dir", default=None)
     ap.add_argument("--mem", action="store_true",
                     help="don't run: AOT-compile the serving step and print "
@@ -54,6 +60,7 @@ def main() -> None:
 
     from bench import build_serving_params  # shared synthetic-weight builder
     from radialog_tpu.decode.engine import (DecodeParams, generate,
+                                            generate_shared_prefix,
                                             generate_two_phase)
     from radialog_tpu.models.biovil_t import (biovil_t_apply, biovil_t_init,
                                               patch_tokens_for_qformer)
@@ -74,12 +81,28 @@ def main() -> None:
     jax.block_until_ready(jax.tree_util.tree_leaves(params))
 
     B = args.batch
+    p0 = args.shared_prefix
+    if p0 and (args.kv_int8 or args.two_phase):
+        ap.error("--shared-prefix requires the bf16 KV fused path")
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((B, 448, 448, 3)), jnp.float32)
-    prompt = rng.integers(3, 30000, (B, args.prompt_len)).astype(np.int32)
-    prompt[:, 4:4 + cfg.num_img_tokens] = cfg.img_token_id
-    tokens = jnp.asarray(prompt)
-    lengths = jnp.full((B,), args.prompt_len, jnp.int32)
+    if p0:
+        # prefix = first P0 tokens, identical across the batch (the RaDialog
+        # system prompt + instruction boilerplate); the per-lane remainder
+        # carries the <IMG> run. Per-lane cache shrinks by P0 slots.
+        prefix_tokens = jnp.asarray(
+            rng.integers(3, 30000, (p0,)).astype(np.int32))
+        t1 = args.prompt_len - p0
+        rem = rng.integers(3, 30000, (B, t1)).astype(np.int32)
+        rem[:, 4:4 + cfg.num_img_tokens] = cfg.img_token_id
+        tokens = jnp.asarray(rem)
+        lengths = jnp.full((B,), t1, jnp.int32)
+    else:
+        prompt = rng.integers(3, 30000, (B, args.prompt_len)).astype(np.int32)
+        prompt[:, 4:4 + cfg.num_img_tokens] = cfg.img_token_id
+        tokens = jnp.asarray(prompt)
+        lengths = jnp.full((B,), args.prompt_len, jnp.int32)
+    lane_cache = args.cache_len - p0  # same TOTAL sequence capacity per lane
     dp = DecodeParams(max_new_tokens=args.new_tokens, eos_token_id=-1)
 
     @jax.jit
@@ -97,6 +120,10 @@ def main() -> None:
         patch = patch_tokens_for_qformer(out.projected_patch_embeddings)
         patch = layernorm(qf_params["ln_vision"], patch)
         embs = blip2_forward_image(qf_params, bcfg, patch, policy=BF16)
+        if p0:
+            return generate_shared_prefix(
+                params, cfg, prefix_tokens, tokens, lengths, dp,
+                img_embs=embs, lora=lora, policy=BF16, cache_len=lane_cache)
         return generate(params, cfg, tokens, lengths, dp, img_embs=embs,
                         lora=lora, policy=BF16, cache_len=args.cache_len,
                         kv_int8=args.kv_int8)
@@ -148,7 +175,7 @@ def main() -> None:
     rps = args.runs * B / dt
     print(json.dumps({
         "batch": B, "kv_int8": bool(args.kv_int8), "w4": bool(args.w4),
-        "two_phase": bool(args.two_phase),
+        "two_phase": bool(args.two_phase), "shared_prefix": p0,
         "cache_len": args.cache_len, "new_tokens": args.new_tokens,
         "reports_per_sec": round(rps, 4),
         "ms_per_token": round(dt / args.runs / args.new_tokens * 1000, 3),
