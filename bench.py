@@ -11,13 +11,21 @@ Pipeline measured (the test.py eval path of the reference, full model sizes):
 
 The measured configuration IS the serving default (apps/pipeline.py):
 fused prefill+decode executable, int8 Pallas weight matmuls, bf16 KV cache,
-batch 32, cache 448 — the single-chip optimum (batch 36 compile-OOMs by
-0.5GB). The int8-KV flash-decode cache is the opt-in capacity mode
-(kv_int8=True): same harness measures 4.91 reports/s at its own optimum
-(batch 24), but its greedy decode diverges from the bf16 cache within ~6
-steps on random weights (tools/measure_kv_int8.py), so it is not the
-default and therefore not the headline. Full batch x kv-dtype sweep + the
-HBM aliasing-cliff analysis: docs/PERF.md.
+SHARED-PREFIX serving (decode/engine.py generate_shared_prefix): the 48
+prompt tokens every RaDialog report request shares (Vicuna system prompt +
+"USER: Image information: ", data/prompts.py — everything before the
+per-request <IMG> run) are prefilled once and read once per decode step
+instead of once per lane, and each lane's cache drops those 48 slots.
+Token-exact vs plain generate (tests/test_shared_prefix.py). The smaller
+lane cache moves the OOM wall: batch 38 x lane-cache 380 is the new
+single-chip optimum (plain path: batch 32 x 448, 4.87 reports/s; shared
+sweep: b32 5.31, b36 5.61, b38 5.73, b40 OOM — tools/bench_sweep.py
+--shared-prefix). The int8-KV flash-decode cache is the opt-in capacity
+mode (kv_int8=True): 4.91 reports/s at its own optimum (batch 24), but its
+greedy decode diverges from the bf16 cache within ~6 steps on random
+weights (tools/measure_kv_int8.py), so it is not the default and therefore
+not the headline. Full batch x kv-dtype sweep + the HBM aliasing-cliff
+analysis: docs/PERF.md.
 
 vs_baseline is measured against the reference configuration's estimated GPU
 throughput: HF greedy generate, fp16 Vicuna-7B, batch 12, max_new_tokens 300
@@ -49,13 +57,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 REFERENCE_REPORTS_PER_SEC = 0.40   # documented estimate, see module docstring
 MAX_NEW_TOKENS = 300               # test.py:344
 PROMPT_LEN = 128                   # system + findings + instruction, typical
-BATCH = 32                         # the single-chip optimum (docs/PERF.md):
+SHARED_PREFIX = 48                 # tokens every report request shares: the
+# Vicuna v1.3 system prompt (~41 tok) + "USER: Image information: " — the
+# prompt boilerplate before the per-request <IMG> run (data/prompts.py,
+# reference vicuna_prompts.json). apps/pipeline.py measures it per batch as
+# the longest common token prefix capped before the first <IMG>.
+BATCH = 38                         # the single-chip optimum (docs/PERF.md):
 # the serving path stores the 7B weights as pre-tiled int8 (ops/q8_matmul.py
-# W8A8 Pallas kernel, ~6.9GB) plus the bf16 KV cache (~7.5GB at batch 32,
-# cache 448) — one 16GB v5e. Measured bf16 sweep: b24 4.28, b28 4.54,
-# b30 4.68, b32 4.87 reports/s, b36 compile-OOM (direct per-layer prefill
-# into the cache is what freed the headroom past the round-1 batch-24
-# limit; the int8-KV capacity mode instead cliffs past ITS optimum b24).
+# W8A8 Pallas kernel, ~6.9GB) plus the bf16 KV cache (~7.2GB: 38 lanes x
+# (428-48) slots after the shared 48 prefix slots move out of every lane) —
+# one 16GB v5e. Measured shared-prefix sweep (P0=48): b32 5.31, b36 5.61,
+# b38 5.73 reports/s, b40 runtime-OOM. Plain-path sweep for comparison:
+# b24 4.28, b28 4.54, b30 4.68, b32 4.87, b36 compile-OOM.
 # Weight VALUES here are synthetic (randomly init'd / constant tiles) — the
 # metric measures the serving engine's throughput at the real model shapes,
 # matching how the bf16 baseline was measured.
@@ -126,7 +139,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-    from radialog_tpu.decode.engine import DecodeParams, generate
+    from radialog_tpu.decode.engine import DecodeParams, generate_shared_prefix
     from radialog_tpu.models.biovil_t import biovil_t_apply, biovil_t_init, \
         patch_tokens_for_qformer
     from radialog_tpu.models.blip2 import Blip2Config, blip2_forward_image
@@ -148,39 +161,46 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((BATCH, 448, 448, 3)), jnp.float32)
-    prompt = rng.integers(3, 30000, (BATCH, PROMPT_LEN)).astype(np.int32)
-    prompt[:, 4:4 + cfg.num_img_tokens] = cfg.img_token_id
-    tokens = jnp.asarray(prompt)
-    lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
+    # shared boilerplate prefix + per-request remainder carrying the <IMG>
+    # run — the apps/pipeline.py prompt split (longest common token prefix,
+    # capped before the first <IMG>)
+    prefix_tokens = jnp.asarray(
+        rng.integers(3, 30000, (SHARED_PREFIX,)).astype(np.int32))
+    t1 = PROMPT_LEN - SHARED_PREFIX
+    rem = rng.integers(3, 30000, (BATCH, t1)).astype(np.int32)
+    rem[:, 4:4 + cfg.num_img_tokens] = cfg.img_token_id
+    tokens = jnp.asarray(rem)
+    lengths = jnp.full((BATCH,), t1, jnp.int32)
     dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1)  # full-length
 
-    cache_len = 448  # >= PROMPT_LEN + MAX_NEW_TOKENS; tight (512 would add
-    # 1GB of bf16 cache and overflow the batch-32 budget)
+    lane_cache = 380  # = t1 + MAX_NEW_TOKENS exactly; b38 x 380 bf16 slots
+    # ~= 7.2GB of cache next to 6.9GB of int8 weights (b40 runtime-OOMs)
 
     @jax.jit
     def report_step(vis_params, vis_state, qf_params, params, lora, images,
-                    tokens, lengths):
-        # ONE fused executable (vision + prefill + decode): the cache is
-        # born inside the program so the decode loop aliases it in place —
-        # the serving default shape (apps/pipeline.py, docs/PERF.md)
+                    prefix_tokens, tokens, lengths):
+        # ONE fused executable (vision + prefix prefill + per-lane prefill
+        # + decode): the cache is born inside the program so the decode
+        # loop aliases it in place — the serving default shape
+        # (apps/pipeline.py, docs/PERF.md)
         out, _ = biovil_t_apply(vis_params, vis_state, images, policy=BF16)
         patch = patch_tokens_for_qformer(out.projected_patch_embeddings)
         patch = layernorm(qf_params["ln_vision"], patch)
         embs = blip2_forward_image(qf_params, bcfg, patch, policy=BF16)
-        return generate(params, cfg, tokens, lengths, dp, img_embs=embs,
-                        lora=lora, policy=BF16, cache_len=cache_len,
-                        kv_int8=False)
+        return generate_shared_prefix(params, cfg, prefix_tokens, tokens,
+                                      lengths, dp, img_embs=embs, lora=lora,
+                                      policy=BF16, cache_len=lane_cache)
 
     # warmup / compile
     res = report_step(vis_params, vis_state, qf_params, params, lora, images,
-                      tokens, lengths)
+                      prefix_tokens, tokens, lengths)
     np.asarray(res.tokens)
 
     n_runs = 3
     t0 = time.time()
     for i in range(n_runs):
         res = report_step(vis_params, vis_state, qf_params, params, lora,
-                          images, tokens, lengths)
+                          images, prefix_tokens, tokens, lengths)
         np.asarray(res.tokens)  # force completion + D2H
     dt = time.time() - t0
 
@@ -189,8 +209,8 @@ def main() -> None:
         "metric": "reports_per_sec_per_chip",
         "value": round(reports_per_sec, 4),
         "unit": ("reports/s (image->300-token report e2e, Vicuna-7B shapes, "
-                 "int8 W8A8 Pallas weights + bf16 KV — the serving default — "
-                 "batch 32)"),
+                 "int8 W8A8 Pallas weights + bf16 KV + shared-prefix "
+                 "serving — the serving default — batch 38)"),
         "vs_baseline": round(reports_per_sec / REFERENCE_REPORTS_PER_SEC, 3),
     }))
 

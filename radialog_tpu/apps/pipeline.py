@@ -24,7 +24,8 @@ import numpy as np
 
 from ..data.tokenization import (WhitespaceTokenizer, load_vicuna_tokenizer,
                                  pad_batch_right)
-from ..decode.engine import DecodeParams, generate_fused_jit
+from ..decode.engine import (DecodeParams, generate_fused_jit,
+                             generate_shared_jit)
 from ..decode.kvcache import bucket_length
 from ..models.bert import BertConfig
 from ..models.biovil_t import biovil_t_apply, biovil_t_init, patch_tokens_for_qformer
@@ -35,6 +36,12 @@ from ..models.chexpert import (CHEXPERT_CLASSES, chexpert_classifier_apply,
 from ..models.llama import LlamaConfig, TINY_LLAMA, VICUNA_7B, llama_init, lora_init
 from ..models.qformer import QFormerConfig, TINY_QFORMER, qformer_init
 from ..ops.layers import BF16, DTypePolicy, FP32, layernorm, layernorm_init
+
+# Minimum common-prefix length (tokens) worth the extra prefix-prefill
+# dispatch; below this the saved per-lane KV reads are noise. The RaDialog
+# report template shares ~48 tokens (system prompt + "USER: Image
+# information: ", data/prompts.py) so real batches clear this easily.
+SHARED_PREFIX_MIN = 16
 
 
 @dataclasses.dataclass
@@ -61,6 +68,14 @@ class PipelineConfig:
     # ~25% faster weight sweep + 3.4GB HBM freed at 7B, but 15-level
     # group-wise weights are NOT the near-lossless default — use only where
     # the quality budget has been validated on real weights.
+    shared_prefix: bool = True               # prefill the batch's common
+    # token prefix ONCE (decode/engine.py generate_shared_prefix) on the
+    # quantized bf16-KV greedy path. Token-EXACT vs plain generate on the
+    # concatenated prompts (tests/test_shared_prefix.py) and strictly less
+    # HBM traffic — the RaDialog report prompts share the system prompt +
+    # "USER: Image information: " boilerplate (~48 tokens), read once per
+    # decode step instead of once per lane. Auto-disabled when the batch's
+    # common prefix is shorter than SHARED_PREFIX_MIN tokens.
     max_new_tokens: int = 300                # test.py:344
     seed: int = 42
 
@@ -243,6 +258,34 @@ class RaDialogPipeline:
         return np.concatenate(out, axis=0)
 
     # ------------------------------------------------------------ generate
+    def _shared_prefix_len(self, ids: List[List[int]],
+                           img_embs: Optional[jax.Array]) -> int:
+        """Longest common token prefix usable for prefix-sharing serving.
+
+        0 when the mode doesn't apply (opt-out, non-quantized stacked
+        layout, int8 KV cache, batch of one). The prefix is capped BEFORE
+        the first <IMG> token whenever image embeddings are passed: the
+        <IMG> token ids are identical across lanes but their K/V depends on
+        the per-request spliced embeddings, so they must stay in the
+        per-lane remainder. Also capped at min_len-1 — the last prompt
+        token must be per-lane so each row gets its own first logits."""
+        if (not self.cfg.shared_prefix or not self.cfg.quantize
+                or self.cfg.use_kv_int8() or len(ids) < 2):
+            return 0
+        first = ids[0]
+        p0 = min(len(s) for s in ids)
+        for s in ids[1:]:
+            i = 0
+            while i < p0 and s[i] == first[i]:
+                i += 1
+            p0 = i
+        if img_embs is not None:
+            img_id = self.llama_cfg.img_token_id
+            for s in ids:
+                if img_id in s:
+                    p0 = min(p0, s.index(img_id))
+        return min(p0, min(len(s) for s in ids) - 1)
+
     def generate_texts(self, prompts: Sequence[str],
                        img_embs: Optional[jax.Array] = None,
                        max_new_tokens: Optional[int] = None,
@@ -264,6 +307,19 @@ class RaDialogPipeline:
                                 num_beams=num_beams, img_embs=img_embs,
                                 lora=self.lora, policy=self.policy,
                                 cache_len=cache_len)
+        elif (p0 := self._shared_prefix_len(ids, img_embs)) >= SHARED_PREFIX_MIN:
+            # prefix-sharing serving: the common prefix's K/V is computed
+            # once and read once per step; the per-lane cache covers only
+            # the remainder. Token-exact vs the plain path (tests).
+            rems = [s[p0:] for s in ids]
+            tokens, lengths = pad_batch_right(rems, _pad_id(self.tokenizer))
+            cache_len = bucket_length(tokens.shape[1] + dp.max_new_tokens)
+            res = generate_shared_jit(
+                self.llama, self.llama_cfg,
+                jnp.asarray(np.asarray(ids[0][:p0], np.int32)),
+                jnp.asarray(tokens), jnp.asarray(lengths), dp,
+                img_embs=img_embs, lora=self.lora, policy=self.policy,
+                cache_len=cache_len)
         else:
             # fused serving: prefill + decode in ONE executable so the cache
             # is born inside the program and the decode while_loop updates it

@@ -101,12 +101,22 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
 
 def prefix_kv(params: Dict, cfg: LlamaConfig, prefix_tokens: jax.Array,
               lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
-              axis_name: Optional[str] = None) -> KVCache:
+              axis_name: Optional[str] = None,
+              ) -> KVCache:
     """Prefill a batch-wide shared prompt prefix ONCE.
 
-    prefix_tokens (P0,) -> KVCache with k/v (L, P0, Hkv, D): the per-layer
-    K/V that ``generate_shared_prefix`` merges into every sequence's
-    attention. Unrolled serving layout only."""
+    prefix_tokens (P0,) -> KVCache with k/v (L, P0, Hkv, D) in the COMPUTE
+    dtype: the per-layer K/V that ``generate_shared_prefix`` merges into
+    every sequence's attention. Unrolled serving layout only.
+
+    Dtype contract (what keeps shared-prefix numerics equal to plain
+    generate): the plain path's remainder prefill attends the prefix's
+    FRESH compute-dtype K/V (models/llama.py direct prefill), while its
+    decode re-reads the prefix from the bf16 cache. So the caller must use
+    this compute-dtype result for the remainder prefill and a
+    cache-dtype-rounded copy for the decode loop — one prefix tensor for
+    both phases shifts logits by ~0.07 (fp32 policy) and greedy outputs
+    diverge from plain generate() within a few steps."""
     p0 = prefix_tokens.shape[0]
     ln = jnp.full((1,), p0, jnp.int32)
     _, fresh = llama_apply(
@@ -163,14 +173,19 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
     bias = prefill_bias(lengths, t1)
     img_start = (find_img_start(tokens, cfg.img_token_id)
                  if img_embs is not None else None)
+    # prefill attends the COMPUTE-dtype prefix (plain direct prefill attends
+    # fresh K/V); decode attends the cache-dtype-rounded prefix (plain decode
+    # re-reads the bf16 cache) — see the prefix_kv dtype contract.
     logits, cache = llama_apply(params, cfg, tokens, positions, bias,
                                 cache=cache, write_pos=0, img_embs=img_embs,
                                 img_start=img_start, lora=lora, policy=policy,
                                 lengths=lengths, axis_name=axis_name,
                                 last_pos=lengths - 1, shared_kv=shared)
+    shared_c = KVCache(shared.k.astype(cache.k.dtype),
+                       shared.v.astype(cache.v.dtype))
     return decode_loop(params, cfg, cache, logits[:, 0], lengths, dp,
                        lora=lora, policy=policy, prompt_pad=t1,
-                       axis_name=axis_name, shared_kv=shared, pos_offset=p0)
+                       axis_name=axis_name, shared_kv=shared_c, pos_offset=p0)
 
 
 generate_shared_jit = partial(jax.jit, static_argnames=(

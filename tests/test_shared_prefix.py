@@ -100,6 +100,51 @@ def test_shared_prefix_with_image_splice():
                                   np.asarray(got.tokens))
 
 
+def test_pipeline_shared_prefix_matches_plain():
+    """The serving pipeline auto-splits the batch's common prompt prefix
+    (apps/pipeline.py _shared_prefix_len) with identical output text."""
+    import dataclasses
+    from radialog_tpu.apps.pipeline import (PipelineConfig, RaDialogPipeline,
+                                            SHARED_PREFIX_MIN)
+    cfg = PipelineConfig(mock=True, quantize=True, bf16=False,
+                         max_new_tokens=6)
+    pipe = RaDialogPipeline(cfg)
+    boiler = " ".join(f"word{i}" for i in range(SHARED_PREFIX_MIN + 4))
+    prompts = [f"{boiler} patient one has effusion ASSISTANT:",
+               f"{boiler} patient two no findings at all ASSISTANT:",
+               f"{boiler} third subject ASSISTANT:"]
+    ids = [pipe.tokenizer(p)["input_ids"] for p in prompts]
+    assert pipe._shared_prefix_len(ids, None) >= SHARED_PREFIX_MIN
+    with_shared = pipe.generate_texts(prompts)
+    pipe.cfg = dataclasses.replace(cfg, shared_prefix=False)
+    plain = pipe.generate_texts(prompts)
+    assert with_shared == plain
+
+
+def test_pipeline_prefix_capped_before_img_run():
+    """<IMG> token ids are batch-identical but their K/V is per-request —
+    the prefix split must stop before the first <IMG>."""
+    from radialog_tpu.apps.pipeline import PipelineConfig, RaDialogPipeline
+    pipe = RaDialogPipeline(PipelineConfig(mock=True, quantize=True,
+                                           bf16=False, max_new_tokens=4))
+    n_img = pipe.llama_cfg.num_img_tokens
+    img_run = "<IMG>" * n_img
+    boiler = " ".join(f"w{i}" for i in range(30))
+    prompts = [f"{boiler} {img_run} findings: effusion ASSISTANT:",
+               f"{boiler} {img_run} findings: none ASSISTANT:"]
+    ids = [pipe.tokenizer(p)["input_ids"] for p in prompts]
+    embs = jnp.asarray(RNG.normal(size=(2, n_img, pipe.llama_cfg.qformer_dim)),
+                       jnp.float32)
+    p0 = pipe._shared_prefix_len(ids, embs)
+    img_id = pipe.llama_cfg.img_token_id
+    assert p0 <= ids[0].index(img_id)
+    with_shared = pipe.generate_texts(prompts, img_embs=embs)
+    import dataclasses
+    pipe.cfg = dataclasses.replace(pipe.cfg, shared_prefix=False)
+    plain = pipe.generate_texts(prompts, img_embs=embs)
+    assert with_shared == plain
+
+
 def test_shared_prefix_rejects_stacked_layout():
     p = llama_init(jax.random.PRNGKey(0), CFG)
     with pytest.raises(ValueError, match="unrolled"):
