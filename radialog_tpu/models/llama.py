@@ -78,10 +78,20 @@ class KVCache(NamedTuple):
 
     bf16 by default; int8 in the quantized serving mode, stored TOKEN-FLAT
     as (L, B, S_max, Hkv*D) with per-token-per-head scales (k_scale/v_scale
-    (L, B, S_max, Hkv) f32) — halves the cache HBM footprint (batch 24 fits
+    (L, B, S_max, Hkv) BF16) — halves the cache HBM footprint (batch 24 fits
     one v5e next to int8 7B weights). The flat layout is what lets the
     Pallas flash-decode kernel (ops/flash_decode.py) feed each (bs, H*D)
-    cache block to the MXU as one block-diagonal-q matmul with no relayout."""
+    cache block to the MXU as one block-diagonal-q matmul with no relayout.
+
+    The scales are deliberately NOT f32: XLA's rematerialization pass
+    compresses loop-carried f32 buffers to bf16 under HBM pressure
+    (`remat_compressed` in the compile dumps), and once any member of the
+    cache tuple is compressed the decode loop pays per-step copy traffic
+    instead of updating in place — the measured 3.7x "remat cliff" that
+    capped int8-KV at batch 24 (docs/PERF.md). Storing the scales bf16 from
+    the start leaves that pass nothing to compress. Quantization divides by
+    the bf16-ROUNDED scale, so dequant stays consistent; the extra scale
+    rounding (~2^-9 relative) is far below the int8 step itself."""
 
     k: jax.Array
     v: jax.Array
@@ -103,16 +113,26 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
     if quantized:
         flat = shape[:3] + (cfg.num_kv_heads * cfg.head_dim,)
         return KVCache(jnp.zeros(flat, jnp.int8), jnp.zeros(flat, jnp.int8),
-                       jnp.ones(shape[:-1], jnp.float32),
-                       jnp.ones(shape[:-1], jnp.float32))
+                       jnp.ones(shape[:-1], jnp.bfloat16),
+                       jnp.ones(shape[:-1], jnp.bfloat16))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(..., D) float -> (int8 (..., D), scale (...)) per-row symmetric."""
+def quantize_kv(x: jax.Array,
+                scale_dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    """(..., D) float -> (int8 (..., D), scale (...)) per-row symmetric.
+
+    The scale is rounded to `scale_dtype` FIRST and the quantization divides
+    by the rounded value, so int8 * scale dequant is exact w.r.t. the stored
+    scale. bf16 default matches the KVCache scale buffers (see KVCache on why
+    f32 loop-carried scales trigger XLA's remat-compression cliff); the
+    transient q/p quantizations inside attention pass f32.
+    """
     xf = x.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
-    x8 = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    scale = scale.astype(scale_dtype)
+    x8 = jnp.clip(jnp.round(xf / scale.astype(jnp.float32)[..., None]),
+                  -127, 127).astype(jnp.int8)
     return x8, scale
 
 
@@ -421,10 +441,10 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
     # token-flat (B,S,H*D) -> (B,S,H,D); free on the CPU/fallback path
     k8 = cache.k[layer_idx].reshape(b, s_max, nh, hd)
     v8 = cache.v[layer_idx].reshape(b, s_max, nh, hd)
-    ks = cache.k_scale[layer_idx]            # (B,S,H)
-    vs = cache.v_scale[layer_idx]
+    ks = cache.k_scale[layer_idx].astype(jnp.float32)     # (B,S,H)
+    vs = cache.v_scale[layer_idx].astype(jnp.float32)
     qt = q.transpose(0, 2, 1, 3)             # (B,H,T,D) — small (T=1 decode)
-    q8, qs = quantize_kv(qt)                 # qs (B,H,T)
+    q8, qs = quantize_kv(qt, jnp.float32)    # qs (B,H,T)
     # keep K/V in their native (B,S,H,D) cache layout: transposing 400MB of
     # int8 per layer per step costs more than the attention itself; dot
     # batch dims may sit at different positions on each operand
@@ -438,7 +458,7 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
         s = s + bias.astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1)           # (B,H,T,S)
     pv = p * vs.transpose(0, 2, 1)[:, :, None, :]
-    p8, ps = quantize_kv(pv)                 # ps (B,H,T)
+    p8, ps = quantize_kv(pv, jnp.float32)    # ps (B,H,T)
     o = jax.lax.dot_general(
         p8, v8, (((3,), (1,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.int32)    # (B,H,T,D)

@@ -82,7 +82,10 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+2,) int32
     scores = jax.lax.dot_general(
         k2d, qbd_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32)
-    scores = scores * ks_ref[0, 0] * qs_ref[0] * scale     # (bs, H)
+    # ks arrives bf16 (the cache stores bf16 scales to starve XLA's
+    # remat-compression pass — see models/llama.py KVCache); fold in f32.
+    scores = (scores * ks_ref[0, 0].astype(jnp.float32)
+              * qs_ref[0] * scale)                          # (bs, H)
     scores = jnp.where(valid, scores, NEG_INF)
 
     m_prev = m_ref[:]                         # (1, H)
@@ -100,7 +103,8 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+2,) int32
     e_mask = e_row == e_col_h
 
     # ---- values on the bf16 MXU: pv^T @ V2d -> (H, H*D), keep block diag
-    pv = (p * vs_ref[0, 0]).astype(jnp.bfloat16)           # v scales folded
+    pv = (p * vs_ref[0, 0].astype(jnp.float32)
+          ).astype(jnp.bfloat16)                           # v scales folded
     vbf = v8_ref[0, 0].astype(jnp.bfloat16)   # (bs, H*D) — the one VPU pass
     mat = jax.lax.dot_general(
         pv, vbf, (((0,), (0,)), ((), ())),
@@ -135,7 +139,8 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     """Single-token attention over one layer of a FULL stacked int8 cache.
 
     q: (B, H, D) float; k8/v8: (L, B, S, H*D) int8 (token-flat layout);
-    ks/vs: (L, B, S, H) f32; lengths: (B,) int32; prompt_pad/step: int32
+    ks/vs: (L, B, S, H) float (bf16 in the serving cache; cast to f32
+    inside the kernel); lengths: (B,) int32; prompt_pad/step: int32
     scalars (static-slot mask); layer_idx: STATIC layer index, baked into
     the BlockSpec index maps — the kernel DMAs blocks straight out of the
     stacked cache. (Slicing the layer in XLA first would materialize a

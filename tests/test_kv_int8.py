@@ -78,8 +78,10 @@ def test_flash_decode_int8_kernel_interpret_matches_reference():
     qs = np.maximum(np.abs(np.asarray(q)).max(-1), 1e-8) / 127.0
     q8 = np.clip(np.round(np.asarray(q) / qs[..., None]), -127, 127)
     qd = q8 * qs[..., None]
-    kd = np.asarray(k8, np.float32)[li] * np.asarray(ks)[li][..., None]
-    vd = np.asarray(v8, np.float32)[li] * np.asarray(vs)[li][..., None]
+    kd = (np.asarray(k8, np.float32)[li]
+          * np.asarray(ks, np.float32)[li][..., None])
+    vd = (np.asarray(v8, np.float32)[li]
+          * np.asarray(vs, np.float32)[li][..., None])
     scores = np.einsum("bhd,bshd->bhs", qd, kd) * D ** -0.5
     pos = np.arange(S)
     valid = (pos[None] < np.asarray(lengths)[:, None]) | (
