@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..models.llama import (KVCache, LlamaConfig, decode_bias_static_slot,
                             find_img_start, init_cache, llama_apply,
-                            prefill_bias)
+                            prefill_bias, quantize_kv)
 from ..ops.layers import DTypePolicy, FP32
 from .kvcache import bucket_length, install_prefill
 
@@ -71,18 +71,25 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     # last_pos: the vocab projection runs only on each sequence's final
     # prompt position — projecting all T positions materializes a (B,T,V)
     # f32 buffer (459MB at batch 28) and pays T x the lm_head MXU work
-    if isinstance(params["layers"], (list, tuple)) and not kv_int8:
-        # unrolled serving layout, bf16 cache: DIRECT prefill — each layer
-        # attends its own fresh K/V and stores straight into the
-        # pre-allocated cache at slot 0. No stacked (L,B,T,H,D) fresh-KV
-        # array, no separate install pass — the ~1.9GB of HLO temp this
-        # frees is what lets bf16 serve at batch 32 (docs/PERF.md).
-        # The int8 cache keeps the stacked-fresh + layer-wise-quantize
-        # install path: routing its prefill through the per-layer direct
-        # writes measured 11% SLOWER end-to-end (4.91 -> 4.38 reports/s at
-        # batch 24 — the per-layer quantize+4-buffer DUS chain in the
-        # unrolled prefill graph schedules worse than one post-hoc scan).
-        cache = init_cache(cfg, b, cache_len, quantized=False)
+    # int8 cache, small batch: stacked-fresh + layer-wise-quantize install
+    # (the per-layer quantize+4-buffer DUS chain of direct prefill schedules
+    # worse: 4.91 -> 4.38 reports/s at batch 24). Large batch flips the
+    # tradeoff: the stacked (L,B,T,H,D) bf16 fresh-KV temp (~2.1 GB at
+    # batch 32, prompt 128) pushes the executable's peak against HBM
+    # capacity, where XLA's remat pass starts compressing/copying the
+    # loop-carried cache every decode step (docs/PERF.md remat cliff) — a
+    # far worse tax than the prefill-phase DUS chain. Crossover measured on
+    # one v5e: b24 prefers the install pass, b32+ needs direct.
+    int8_direct = kv_int8 and b >= 30
+    if isinstance(params["layers"], (list, tuple)) and (not kv_int8
+                                                        or int8_direct):
+        # unrolled serving layout: DIRECT prefill — each layer attends its
+        # own fresh K/V and stores straight into the pre-allocated cache at
+        # slot 0 (quantizing on the way when the cache is int8). No stacked
+        # (L,B,T,H,D) fresh-KV array, no separate install pass — the ~2GB
+        # of HLO temp this frees is what lets bf16 serve at batch 32 and
+        # int8 past the capacity-pressure remat cliff (docs/PERF.md).
+        cache = init_cache(cfg, b, cache_len, quantized=int8_direct)
         logits, cache = llama_apply(params, cfg, tokens, positions, bias,
                                     cache=cache, write_pos=0,
                                     img_embs=img_embs, img_start=img_start,
@@ -134,7 +141,8 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
                            lora: Optional[Dict] = None,
                            policy: DTypePolicy = FP32,
                            cache_len: Optional[int] = None,
-                           axis_name: Optional[str] = None
+                           axis_name: Optional[str] = None,
+                           kv_int8: bool = False
                            ) -> GenerationResult:
     """generate() for a batch whose prompts share a literal common token
     prefix (the RaDialog report template: system prompt + instruction
@@ -154,7 +162,13 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
     both effects are throughput: ~B*P0 fewer KV rows per step, and the
     smaller cache moves the batch-size OOM wall out.
 
-    Unrolled serving layout + bf16 KV cache only (the serving default)."""
+    Unrolled serving layout only. ``kv_int8=True`` composes prefix sharing
+    with the int8 cache: the remainder prefill still attends the
+    compute-dtype prefix (int8 rounding only affects decode reads — same
+    contract as plain int8 prefill), while the decode loop reads an
+    int8-quantized copy of the prefix (quantize_kv — the same rounding the
+    plain int8 path applies when it installs the prefix into its cache),
+    merged by the flash-decode kernel's leading shared grid step."""
     if not isinstance(params["layers"], (list, tuple)):
         raise ValueError("prefix sharing is a serving feature of the "
                          "unrolled weight layout (quantize_llama_host)")
@@ -168,28 +182,41 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
             f"prompt contract reserves {cfg.num_img_tokens} <IMG> slots")
     shared = prefix_kv(params, cfg, prefix_tokens, lora=lora, policy=policy,
                        axis_name=axis_name)
-    cache = init_cache(cfg, b, cache_len, quantized=False)
+    cache = init_cache(cfg, b, cache_len, quantized=kv_int8)
     positions = p0 + jnp.arange(t1)[None, :].repeat(b, 0)
     bias = prefill_bias(lengths, t1)
     img_start = (find_img_start(tokens, cfg.img_token_id)
                  if img_embs is not None else None)
     # prefill attends the COMPUTE-dtype prefix (plain direct prefill attends
     # fresh K/V); decode attends the cache-dtype-rounded prefix (plain decode
-    # re-reads the bf16 cache) — see the prefix_kv dtype contract.
+    # re-reads the bf16/int8 cache) — see the prefix_kv dtype contract.
     logits, cache = llama_apply(params, cfg, tokens, positions, bias,
                                 cache=cache, write_pos=0, img_embs=img_embs,
                                 img_start=img_start, lora=lora, policy=policy,
                                 lengths=lengths, axis_name=axis_name,
                                 last_pos=lengths - 1, shared_kv=shared)
-    shared_c = KVCache(shared.k.astype(cache.k.dtype),
-                       shared.v.astype(cache.v.dtype))
+    if kv_int8:
+        # token-flat int8 prefix, padded to the kernel's 32-row sublane tile
+        L, P0, H, D = shared.k.shape
+        k0_8, ks0 = quantize_kv(shared.k)
+        v0_8, vs0 = quantize_kv(shared.v)
+        p0p = -(-P0 // 32) * 32
+        pad = ((0, 0), (0, p0p - P0), (0, 0))
+        shared_c = KVCache(
+            jnp.pad(k0_8.reshape(L, P0, H * D), pad),
+            jnp.pad(v0_8.reshape(L, P0, H * D), pad),
+            jnp.pad(ks0, pad), jnp.pad(vs0, pad))
+    else:
+        shared_c = KVCache(shared.k.astype(cache.k.dtype),
+                           shared.v.astype(cache.v.dtype))
     return decode_loop(params, cfg, cache, logits[:, 0], lengths, dp,
                        lora=lora, policy=policy, prompt_pad=t1,
-                       axis_name=axis_name, shared_kv=shared_c, pos_offset=p0)
+                       axis_name=axis_name, shared_kv=shared_c, pos_offset=p0,
+                       shared_p0=p0)
 
 
 generate_shared_jit = partial(jax.jit, static_argnames=(
-    "cfg", "dp", "cache_len", "policy"))(generate_shared_prefix)
+    "cfg", "dp", "cache_len", "policy", "kv_int8"))(generate_shared_prefix)
 
 
 def _select_token(logits: jax.Array, dp: DecodeParams, key) -> jax.Array:
@@ -205,7 +232,8 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
                 prompt_pad: Optional[int] = None,
                 axis_name: Optional[str] = None,
                 shared_kv: Optional[KVCache] = None,
-                pos_offset: int = 0) -> GenerationResult:
+                pos_offset: int = 0,
+                shared_p0: Optional[int] = None) -> GenerationResult:
     """Greedy/sampled decode with early exit once all sequences emit EOS.
 
     Static-slot KV writes: step s writes every sequence's K/V at slot
@@ -221,7 +249,8 @@ def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
                                      prompt_lengths, dp, lora=lora,
                                      policy=policy, prompt_pad=prompt_pad,
                                      axis_name=axis_name, shared_kv=shared_kv,
-                                     pos_offset=pos_offset)
+                                     pos_offset=pos_offset,
+                                     shared_p0=shared_p0)
     return res
 
 
@@ -232,7 +261,8 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
                             prompt_pad: Optional[int] = None,
                             axis_name: Optional[str] = None,
                             shared_kv: Optional[KVCache] = None,
-                            pos_offset: int = 0):
+                            pos_offset: int = 0,
+                            shared_p0: Optional[int] = None):
     """decode_loop returning (result, final_cache). The cache output is what
     makes the two-phase donation real: XLA input-output aliasing needs an
     output buffer matching the donated input, otherwise the donation is
@@ -273,7 +303,7 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
             params, cfg, last_tok[:, None], pos, bias, cache=cache,
             write_pos=prompt_pad + step, lora=lora, policy=policy,
             lengths=prompt_lengths, slot_info=(prompt_pad, step),
-            axis_name=axis_name, shared_kv=shared_kv)
+            axis_name=axis_name, shared_kv=shared_kv, shared_p0=shared_p0)
         key, sub = jax.random.split(key)
         nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
         nxt = jnp.where(done, dp.eos_token_id, nxt)

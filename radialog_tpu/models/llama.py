@@ -291,11 +291,6 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
         # in-place dynamic_update_slice. (The scan path's slice-out /
         # modify / write-back costs two 50MB copies per layer per step.)
         full_cache, layer_idx = direct_cache
-        if shared_layer is not None and full_cache.quantized:
-            raise ValueError("prefix sharing requires the bf16 KV cache "
-                             "(the serving default); kv_int8 reads go "
-                             "through the flash-decode kernel which has no "
-                             "shared-region support")
         if full_cache.quantized:
             k8, ks = quantize_kv(k)
             v8, vs = quantize_kv(v)
@@ -325,10 +320,31 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                     rep = nh // nkv
                     k_loc = jnp.repeat(k_loc, rep, axis=2)
                     v_loc = jnp.repeat(v_loc, rep, axis=2)
-                o = mha(q, k_loc, v_loc, bias=bias[..., :t])
+                if shared_layer is not None:
+                    # remainder prefill attends the COMPUTE-dtype prefix
+                    # (same contract as the bf16 path — the int8 rounding
+                    # only affects decode reads): shared_layer = (k0, v0)
+                    # each (P0, Hkv, D) in the compute dtype.
+                    k0, v0 = shared_layer
+                    k0 = k0.astype(x.dtype)
+                    v0 = v0.astype(x.dtype)
+                    if nkv != nh:
+                        rep = nh // nkv
+                        k0 = jnp.repeat(k0, rep, axis=1)
+                        v0 = jnp.repeat(v0, rep, axis=1)
+                    o = mha_shared_prefix(q, k0, v0, k_loc, v_loc,
+                                          bias1=bias[..., :t])
+                else:
+                    o = mha(q, k_loc, v_loc, bias=bias[..., :t])
             else:
+                # decode: shared_layer (if any) is the QUANTIZED prefix —
+                # (k0_8, ks0, v0_8, vs0) + live length p0 (threaded through
+                # slot_info by the decode loop when prefix-sharing)
+                sl, p0 = (shared_layer if shared_layer is not None
+                          else (None, None))
                 o = _attention_int8_kv(q, new_cache, layer_idx, bias, hd,
-                                       lengths=lengths, slot_info=slot_info)
+                                       lengths=lengths, slot_info=slot_info,
+                                       shared_layer=sl, p0=p0)
             o = o.reshape(b, t, nh * hd)
             return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
                     new_cache)
@@ -416,7 +432,9 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
 def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
                        bias: jax.Array, head_dim: int,
                        lengths: Optional[jax.Array] = None,
-                       slot_info=None) -> jax.Array:
+                       slot_info=None,
+                       shared_layer=None,
+                       p0: Optional[jax.Array] = None) -> jax.Array:
     """Decode attention over an int8 KV cache, fully on the int8 MXU.
 
     q: (B, T, H, D) float. scores = (q8 . k8) * q_scale * k_scale;
@@ -424,6 +442,13 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
     before re-quantizing them (p' = softmax * v_scale; o = (p'8 . v8) * p's).
     Keeping both matmuls int8 avoids the VPU int8->bf16 convert wall that
     makes naive dequantization slower than bf16.
+
+    shared_layer: optional (k0_8, ks0, v0_8, vs0) — one layer of an
+    int8-quantized batch-wide shared prompt prefix (k0_8/v0_8 (P0p, H*D)
+    token-flat int8, scales (P0p, H)); p0: live prefix length (rows >= p0
+    are padding). The prefix scores join the same softmax as the per-lane
+    region, and its bytes are read once per step instead of once per lane
+    (decode/engine.py generate_shared_prefix, kv_int8 mode).
     """
     b, t, nh, hd = q.shape
     if (t == 1 and slot_info is not None and lengths is not None
@@ -431,11 +456,14 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
         # fused Pallas flash-decode: int8 DMA + block-diagonal-q MXU matmuls
         from ..ops.flash_decode import flash_decode_int8
         prompt_pad, step = slot_info
+        kshared = (tuple(x[None] for x in shared_layer)
+                   if shared_layer is not None else None)
         o = flash_decode_int8(q[:, 0], cache.k, cache.k_scale,
                               cache.v, cache.v_scale,
                               lengths, prompt_pad, step,
                               layer_idx=layer_idx,
-                              scale=head_dim ** -0.5)
+                              scale=head_dim ** -0.5,
+                              shared=kshared, p0=p0)
         return o[:, None].astype(q.dtype)
     s_max = cache.k.shape[2]
     # token-flat (B,S,H*D) -> (B,S,H,D); free on the CPU/fallback path
@@ -456,13 +484,32 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
          * ks.transpose(0, 2, 1)[:, :, None, :] * scale)
     if bias is not None:
         s = s + bias.astype(jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)           # (B,H,T,S)
+    if shared_layer is not None:
+        # prefix scores: (q8 . k0_8) * qs * ks0 — same int8 math as the
+        # per-lane region; one softmax over the concatenation
+        k0_8, ks0, v0_8, vs0 = shared_layer
+        p0p = k0_8.shape[0]
+        k0 = k0_8.reshape(p0p, nh, hd)
+        s0 = jnp.einsum("bhtd,phd->bhtp", q8.astype(jnp.int32),
+                        k0.astype(jnp.int32)).astype(jnp.float32)
+        s0 = (s0 * qs[..., None] * ks0.astype(jnp.float32).T[None, :, None, :]
+              * scale)
+        s0 = jnp.where(jnp.arange(p0p)[None, None, None, :] < p0, s0, NEG_INF)
+        s = jnp.concatenate([s0, s], axis=-1)            # (B,H,T,P0p+S)
+        p = jax.nn.softmax(s, axis=-1)
+        pfx, p = p[..., :p0p], p[..., p0p:]
+        pv0 = pfx * vs0.astype(jnp.float32).T[None, :, None, :]
+        o0 = jnp.einsum("bhtp,phd->bhtd", pv0,
+                        v0_8.reshape(p0p, nh, hd).astype(jnp.float32))
+    else:
+        p = jax.nn.softmax(s, axis=-1)       # (B,H,T,S)
+        o0 = 0.0
     pv = p * vs.transpose(0, 2, 1)[:, :, None, :]
     p8, ps = quantize_kv(pv, jnp.float32)    # ps (B,H,T)
     o = jax.lax.dot_general(
         p8, v8, (((3,), (1,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.int32)    # (B,H,T,D)
-    o = o.astype(jnp.float32) * ps[..., None]
+    o = o.astype(jnp.float32) * ps[..., None] + o0
     return o.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
@@ -502,7 +549,8 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 slot_info=None,
                 axis_name: Optional[str] = None,
                 last_pos: Optional[jax.Array] = None,
-                shared_kv: Optional[KVCache] = None):
+                shared_kv: Optional[KVCache] = None,
+                shared_p0: Optional[jax.Array] = None):
     """Core transformer. Returns (logits, new_cache).
     shared_kv: (L, P0, Hkv, D) k/v of a batch-wide shared prompt prefix
     (unrolled serving layout + bf16 cache only) — each layer's attention
@@ -552,8 +600,15 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             ll = _index_lora(lora_layers, i)
             h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
             direct = (cur_cache, i) if cache is not None else None
-            shared_layer = ((shared_kv.k[i], shared_kv.v[i])
-                            if shared_kv is not None else None)
+            if shared_kv is None:
+                shared_layer = None
+            elif shared_kv.quantized:
+                # int8 decode: ((k0_8, ks0, v0_8, vs0), live prefix length)
+                shared_layer = ((shared_kv.k[i], shared_kv.k_scale[i],
+                                 shared_kv.v[i], shared_kv.v_scale[i]),
+                                shared_p0)
+            else:
+                shared_layer = (shared_kv.k[i], shared_kv.v[i])
             attn_out, cache_out = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
                 None, write_pos, policy, direct_cache=direct,

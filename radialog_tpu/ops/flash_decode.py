@@ -53,11 +53,64 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(lens_ref,                       # scalar prefetch: (B+2,) int32
-            qbd_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
-            o_ref,
-            m_ref, l_ref, acc_ref,
-            *, bs: int, heads: int, head_dim: int, scale: float):
+def _process_block(k2d, ks_row, v2d, vs_row, valid, qbd, qs,
+                   m_ref, l_ref, acc_ref, e_mask, scale):
+    """One online-softmax accumulation over a KV block.
+
+    k2d/v2d: (rows, H*D) int8; ks_row/vs_row: (rows, H) float scales;
+    valid: (rows, H) bool; qbd: (H*D, H) block-diagonal int8 q; qs: (1, H).
+    """
+    # ---- scores on the int8 MXU: (rows, H*D) @ (H*D, H) -> (rows, H) int32
+    scores = jax.lax.dot_general(
+        k2d, qbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    # ks arrives bf16 (the cache stores bf16 scales to starve XLA's
+    # remat-compression pass — see models/llama.py KVCache); fold in f32.
+    scores = scores * ks_row.astype(jnp.float32) * qs * scale
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    m_prev = m_ref[:]                         # (1, H)
+    m_cur = jnp.max(scores, axis=0, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)           # (1, H)
+    p = jnp.exp(scores - m_new)               # (rows, H)
+    p = jnp.where(valid, p, 0.0)
+    l_ref[:] = l_ref[:] * alpha + p.sum(axis=0, keepdims=True)
+    m_ref[:] = m_new
+
+    # ---- values on the bf16 MXU: pv^T @ V2d -> (H, H*D), keep block diag
+    pv = (p * vs_row.astype(jnp.float32)).astype(jnp.bfloat16)
+    vbf = v2d.astype(jnp.bfloat16)            # the one VPU pass
+    mat = jax.lax.dot_general(
+        pv, vbf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)   # (H, H*D)
+    block_o = jnp.sum(jnp.where(e_mask, mat, 0.0),
+                      axis=0, keepdims=True)  # (1, H*D) flat per-head output
+    # (1, H) -> (1, H*D) lane broadcast via MXU: alpha @ E. f32, like the
+    # _finish inv_l path — the denominator l is rescaled with f32 alpha, so
+    # a bf16 numerator rescale would drift ~0.4% relative per KV block.
+    alpha_exp = jax.lax.dot_general(
+        alpha, e_mask.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha_exp + block_o
+
+
+def _kernel(lens_ref,                       # scalar prefetch: (B+3,) int32
+            *refs,
+            bs: int, heads: int, head_dim: int, scale: float,
+            n0: int = 0):
+    """n0=1 adds a leading SHARED-PREFIX grid step: s_i == 0 accumulates the
+    batch-wide int8 prefix block (k0/v0 (P0p, H*D), scales (P0p, H); valid
+    rows < p0, prefetched at lens_ref[B+2]) before the per-lane cache blocks
+    — the prefix bytes are DMA'd once (constant index map), not once per
+    lane (decode/engine.py generate_shared_prefix, kv_int8 mode)."""
+    if n0:
+        (qbd_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
+         k0_ref, ks0_ref, v0_ref, vs0_ref,
+         o_ref, m_ref, l_ref, acc_ref) = refs
+    else:
+        (qbd_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
+         o_ref, m_ref, l_ref, acc_ref) = refs
     s_i = pl.program_id(1)
     h, d = heads, head_dim
     hd = h * d
@@ -73,51 +126,31 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+2,) int32
     prompt_pad = lens_ref[pl.num_programs(0)]
     step = lens_ref[pl.num_programs(0) + 1]
 
-    s_pos = s_i * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, h), 0)
-    valid = (s_pos < length) | ((s_pos >= prompt_pad)
-                                & (s_pos <= prompt_pad + step))
-
-    # ---- scores on the int8 MXU: (bs, H*D) @ (H*D, H) -> (bs, H) int32
-    k2d = k8_ref[0, 0]                        # (bs, H*D) int8
-    scores = jax.lax.dot_general(
-        k2d, qbd_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32).astype(jnp.float32)
-    # ks arrives bf16 (the cache stores bf16 scales to starve XLA's
-    # remat-compression pass — see models/llama.py KVCache); fold in f32.
-    scores = (scores * ks_ref[0, 0].astype(jnp.float32)
-              * qs_ref[0] * scale)                          # (bs, H)
-    scores = jnp.where(valid, scores, NEG_INF)
-
-    m_prev = m_ref[:]                         # (1, H)
-    m_cur = jnp.max(scores, axis=0, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)           # (1, H)
-    p = jnp.exp(scores - m_new)               # (bs, H)
-    p = jnp.where(valid, p, 0.0)
-    l_ref[:] = l_ref[:] * alpha + p.sum(axis=0, keepdims=True)
-    m_ref[:] = m_new
-
     # head-expansion mask E (h, hd): E[c, j] = (j // d == c)
     e_row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
     e_col_h = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
     e_mask = e_row == e_col_h
 
-    # ---- values on the bf16 MXU: pv^T @ V2d -> (H, H*D), keep block diag
-    pv = (p * vs_ref[0, 0].astype(jnp.float32)
-          ).astype(jnp.bfloat16)                           # v scales folded
-    vbf = v8_ref[0, 0].astype(jnp.bfloat16)   # (bs, H*D) — the one VPU pass
-    mat = jax.lax.dot_general(
-        pv, vbf, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)   # (H, H*D)
-    block_o = jnp.sum(jnp.where(e_mask, mat, 0.0),
-                      axis=0, keepdims=True)  # (1, H*D) flat per-head output
-    # (1, H) -> (1, H*D) lane broadcast via MXU: alpha @ E. f32, like the
-    # _finish inv_l path — the denominator l is rescaled with f32 alpha, so
-    # a bf16 numerator rescale would drift ~0.4% relative per KV block.
-    alpha_exp = jax.lax.dot_general(
-        alpha, e_mask.astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha_exp + block_o
+    if n0:
+        p0 = lens_ref[pl.num_programs(0) + 2]
+
+        @pl.when(s_i == 0)
+        def _shared():
+            p0p = k0_ref.shape[1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (p0p, h), 0)
+            _process_block(k0_ref[0], ks0_ref[0], v0_ref[0], vs0_ref[0],
+                           row < p0, qbd_ref[0], qs_ref[0],
+                           m_ref, l_ref, acc_ref, e_mask, scale)
+
+    @pl.when(s_i >= n0)
+    def _lane():
+        s_pos = ((s_i - n0) * bs
+                 + jax.lax.broadcasted_iota(jnp.int32, (bs, h), 0))
+        valid = (s_pos < length) | ((s_pos >= prompt_pad)
+                                    & (s_pos <= prompt_pad + step))
+        _process_block(k8_ref[0, 0], ks_ref[0, 0], v8_ref[0, 0],
+                       vs_ref[0, 0], valid, qbd_ref[0], qs_ref[0],
+                       m_ref, l_ref, acc_ref, e_mask, scale)
 
     @pl.when(s_i == pl.num_programs(1) - 1)
     def _finish():
@@ -135,7 +168,8 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                       v8: jax.Array, vs: jax.Array, lengths: jax.Array,
                       prompt_pad, step, layer_idx: int = 0,
                       scale: float | None = None,
-                      bs: int = 256, interpret: bool = False) -> jax.Array:
+                      bs: int = 256, interpret: bool = False,
+                      shared=None, p0=None) -> jax.Array:
     """Single-token attention over one layer of a FULL stacked int8 cache.
 
     q: (B, H, D) float; k8/v8: (L, B, S, H*D) int8 (token-flat layout);
@@ -146,6 +180,14 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     stacked cache. (Slicing the layer in XLA first would materialize a
     100MB copy per operand per step, since custom calls cannot consume
     fused slices.)  Returns (B, H, D) in q.dtype.
+
+    shared: optional (k0_8, ks0, v0_8, vs0) — an int8-quantized batch-wide
+    shared prompt prefix, k0_8/v0_8 (L, P0p, H*D) int8 with scales
+    (L, P0p, H); p0: int32 scalar, the live prefix length (rows >= p0 are
+    padding). The prefix is accumulated in an extra leading grid step whose
+    block index maps are constant, so its bytes move HBM->VMEM once per
+    kernel launch instead of once per lane (prefix-sharing serving,
+    decode/engine.py generate_shared_prefix).
     """
     b, h, d = q.shape
     hd = h * d
@@ -157,6 +199,7 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         bs //= 2
     assert bs >= 1 and s_len % bs == 0, (s_len, bs)
     li = layer_idx
+    n0 = 1 if shared is not None else 0
 
     # per-head symmetric int8 quantization of q + block-diagonal layout
     qf = q.astype(jnp.float32)
@@ -168,27 +211,52 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     scalars = jnp.concatenate([
         lengths.astype(jnp.int32),
         jnp.asarray([prompt_pad], jnp.int32).reshape(1),
-        jnp.asarray([step], jnp.int32).reshape(1)])
+        jnp.asarray([step], jnp.int32).reshape(1),
+        jnp.asarray([0 if p0 is None else p0], jnp.int32).reshape(1)])
 
-    grid = (b, s_len // bs)
+    in_specs = [
+        # qbd/qs index maps ignore s_i -> DMA'd once per sequence
+        pl.BlockSpec((1, hd, h), lambda bi, si, sc: (bi, 0, 0)),
+        pl.BlockSpec((1, 1, h), lambda bi, si, sc: (bi, 0, 0)),
+        # lane blocks: clamp the leading shared step (si < n0) to block 0 —
+        # it is the same index as the first lane step, so no extra DMA
+        pl.BlockSpec((1, 1, bs, hd),
+                     lambda bi, si, sc: (li, bi, jnp.maximum(si - n0, 0), 0)),
+        pl.BlockSpec((1, 1, bs, h),
+                     lambda bi, si, sc: (li, bi, jnp.maximum(si - n0, 0), 0)),
+        pl.BlockSpec((1, 1, bs, hd),
+                     lambda bi, si, sc: (li, bi, jnp.maximum(si - n0, 0), 0)),
+        pl.BlockSpec((1, 1, bs, h),
+                     lambda bi, si, sc: (li, bi, jnp.maximum(si - n0, 0), 0)),
+    ]
+    operands = [qbd, qscale[:, None, :], k8, ks, v8, vs]
+    if shared is not None:
+        # PER-LAYER prefix arrays with a leading dummy axis (1, P0p, ...) —
+        # the caller slices its stacked (L, ...) prefix outside the kernel
+        # (a ~1MB copy per layer per step: custom calls cannot consume
+        # fused slices, and the prefix is tiny). Constant index maps: the
+        # prefix blocks are DMA'd once per launch, not once per lane.
+        k0_8, ks0, v0_8, vs0 = shared
+        p0p = k0_8.shape[1]
+        assert k0_8.shape[0] == 1 and k0_8.shape[-1] == hd \
+            and ks0.shape[-1] == h, (k0_8.shape, ks0.shape)
+        in_specs += [
+            pl.BlockSpec((1, p0p, hd), lambda bi, si, sc: (0, 0, 0)),
+            pl.BlockSpec((1, p0p, h), lambda bi, si, sc: (0, 0, 0)),
+            pl.BlockSpec((1, p0p, hd), lambda bi, si, sc: (0, 0, 0)),
+            pl.BlockSpec((1, p0p, h), lambda bi, si, sc: (0, 0, 0)),
+        ]
+        operands += [k0_8, ks0, v0_8, vs0]
+
+    grid = (b, n0 + s_len // bs)
     kernel = functools.partial(_kernel, bs=bs, heads=h, head_dim=d,
-                               scale=scale)
+                               scale=scale, n0=n0)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                # qbd/qs index maps ignore s_i -> DMA'd once per sequence
-                pl.BlockSpec((1, hd, h), lambda bi, si, sc: (bi, 0, 0)),
-                pl.BlockSpec((1, 1, h), lambda bi, si, sc: (bi, 0, 0)),
-                pl.BlockSpec((1, 1, bs, hd),
-                             lambda bi, si, sc: (li, bi, si, 0)),
-                pl.BlockSpec((1, 1, bs, h), lambda bi, si, sc: (li, bi, si, 0)),
-                pl.BlockSpec((1, 1, bs, hd),
-                             lambda bi, si, sc: (li, bi, si, 0)),
-                pl.BlockSpec((1, 1, bs, h), lambda bi, si, sc: (li, bi, si, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, hd),
                                    lambda bi, si, sc: (bi, 0, 0)),
             scratch_shapes=[
@@ -205,5 +273,5 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             bytes_accessed=2 * b * s_len * hd,
             transcendentals=b * h * s_len),
         interpret=interpret,
-    )(scalars, qbd, qscale[:, None, :], k8, ks, v8, vs)
+    )(scalars, *operands)
     return out.reshape(b, h, d)

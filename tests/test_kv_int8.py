@@ -3,7 +3,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from radialog_tpu.decode.engine import DecodeParams, generate
+from radialog_tpu.decode.engine import (DecodeParams, generate,
+                                        generate_shared_prefix)
 from radialog_tpu.models.llama import TINY_LLAMA, llama_init, quantize_kv
 from radialog_tpu.ops.quant import quantize_llama_host
 
@@ -44,6 +45,25 @@ def test_int8_kv_generate_close_to_bf16_cache():
     assert got.tokens.shape == ref.tokens.shape
 
 
+def test_int8_direct_prefill_matches_install_pass():
+    """Batches >= 30 route int8 prefill through the DIRECT per-layer path
+    (quantize + store into the cache inside each layer) instead of the
+    stacked-fresh + install scan (decode/engine.py prefill) — the cache
+    contents and decode math are identical, so a big batch made of tiled
+    copies of a small batch must generate exactly the small batch's tokens
+    row-for-row (prefill/decode are per-row independent)."""
+    _, qp = _unrolled_params()
+    toks2 = jnp.asarray(RNG.integers(3, 200, (2, 8)))
+    lens2 = jnp.asarray([8, 6])
+    dp = DecodeParams(max_new_tokens=6, eos_token_id=1)
+    small = generate(qp, CFG, toks2, lens2, dp, cache_len=32, kv_int8=True)
+    toks30 = jnp.tile(toks2, (15, 1))
+    lens30 = jnp.tile(lens2, 15)
+    big = generate(qp, CFG, toks30, lens30, dp, cache_len=32, kv_int8=True)
+    np.testing.assert_array_equal(
+        np.asarray(big.tokens), np.tile(np.asarray(small.tokens), (15, 1)))
+
+
 def test_int8_kv_rejects_scan_params():
     params, _ = _unrolled_params()
     toks = jnp.asarray(RNG.integers(3, 200, (1, 6)))
@@ -52,6 +72,92 @@ def test_int8_kv_rejects_scan_params():
         generate(params, CFG, toks, jnp.asarray([6]),
                  DecodeParams(max_new_tokens=2, eos_token_id=1),
                  cache_len=16, kv_int8=True)
+
+
+def test_flash_decode_int8_shared_prefix_interpret_matches_reference():
+    """Kernel with the leading SHARED-PREFIX grid step (interpret mode) vs a
+    dense masked reference over the concatenated [prefix | lane] regions."""
+    from radialog_tpu.ops.flash_decode import flash_decode_int8
+    from radialog_tpu.models.llama import quantize_kv
+
+    L, B, S, H, D = 2, 3, 16, 4, 8
+    P0, P0p = 5, 8
+    bs = 8
+    rng = np.random.default_rng(11)
+    kf = rng.normal(size=(L, B, S, H, D)).astype(np.float32)
+    vf = rng.normal(size=(L, B, S, H, D)).astype(np.float32)
+    k0f = rng.normal(size=(1, P0p, H, D)).astype(np.float32)
+    v0f = rng.normal(size=(1, P0p, H, D)).astype(np.float32)
+    k8, ks = quantize_kv(jnp.asarray(kf))
+    v8, vs = quantize_kv(jnp.asarray(vf))
+    k0_8, ks0 = quantize_kv(jnp.asarray(k0f))
+    v0_8, vs0 = quantize_kv(jnp.asarray(v0f))
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    lengths = jnp.asarray([5, 16, 9], jnp.int32)
+    prompt_pad, step, li = 12, 2, 1
+
+    got = flash_decode_int8(
+        q, k8.reshape(L, B, S, H * D), ks, v8.reshape(L, B, S, H * D), vs,
+        lengths, prompt_pad, step, layer_idx=li, bs=bs, interpret=True,
+        shared=(k0_8.reshape(1, P0p, H * D), ks0,
+                v0_8.reshape(1, P0p, H * D), vs0),
+        p0=P0)
+
+    # reference: dequantized dense attention over [prefix | lane]
+    qs = np.maximum(np.abs(np.asarray(q)).max(-1), 1e-8) / 127.0
+    q8 = np.clip(np.round(np.asarray(q) / qs[..., None]), -127, 127)
+    qd = q8 * qs[..., None]
+    kd = (np.asarray(k8, np.float32)[li]
+          * np.asarray(ks, np.float32)[li][..., None])
+    vd = (np.asarray(v8, np.float32)[li]
+          * np.asarray(vs, np.float32)[li][..., None])
+    k0d = (np.asarray(k0_8, np.float32)[0]
+           * np.asarray(ks0, np.float32)[0][..., None])
+    v0d = (np.asarray(v0_8, np.float32)[0]
+           * np.asarray(vs0, np.float32)[0][..., None])
+    s0 = np.einsum("bhd,phd->bhp", qd, k0d) * D ** -0.5      # (B,H,P0p)
+    s0 = np.where((np.arange(P0p) < P0)[None, None], s0, -1e30)
+    s1 = np.einsum("bhd,bshd->bhs", qd, kd) * D ** -0.5
+    pos = np.arange(S)
+    valid = (pos[None] < np.asarray(lengths)[:, None]) | (
+        (pos >= prompt_pad) & (pos <= prompt_pad + step))[None]
+    s1 = np.where(valid[:, None, :], s1, -1e30)
+    s_all = np.concatenate([s0, s1], axis=-1)
+    p = np.exp(s_all - s_all.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = (np.einsum("bhp,phd->bhd", p[..., :P0p], v0d)
+           + np.einsum("bhs,bshd->bhd", p[..., P0p:], vd))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0.05, atol=0.02)
+
+
+def test_int8_shared_prefix_generate_close_to_plain():
+    """End-to-end generate_shared_prefix(kv_int8=True) vs plain int8
+    generate over concat(prefix, remainder): the prefix is quantized with
+    the same per-token rounding, so outputs should largely agree — the
+    residual differences are f32 accumulation-order and softmax-weight
+    requantization-support effects (the fallback path quantizes the value
+    weights over the lane region only), which flip near-uniform random
+    argmaxes. This is a mechanism check, not a parity gate; the kernel's
+    merged math is exact-contract-tested above."""
+    _, qp = _unrolled_params()
+    rng = np.random.default_rng(3)
+    P0, T1, B = 6, 8, 3
+    prefix = jnp.asarray(rng.integers(3, 200, (P0,)), jnp.int32)
+    rem = jnp.asarray(rng.integers(3, 200, (B, T1)), jnp.int32)
+    lens = jnp.asarray([8, 6, 7], jnp.int32)
+    dp = DecodeParams(max_new_tokens=6, eos_token_id=1)
+    full = np.zeros((B, P0 + T1), np.int32)
+    for i in range(B):
+        n = int(lens[i])
+        full[i, :P0] = np.asarray(prefix)
+        full[i, P0:P0 + n] = np.asarray(rem[i, :n])
+    plain = generate(qp, CFG, jnp.asarray(full), P0 + lens, dp,
+                     cache_len=32, kv_int8=True)
+    shared = generate_shared_prefix(qp, CFG, prefix, rem, lens, dp,
+                                    cache_len=26, kv_int8=True)
+    agree = (np.asarray(plain.tokens) == np.asarray(shared.tokens)).mean()
+    assert shared.tokens.shape == plain.tokens.shape
+    assert agree >= 0.5, f"agreement {agree}"
 
 
 def test_flash_decode_int8_kernel_interpret_matches_reference():

@@ -82,8 +82,8 @@ def main() -> None:
 
     B = args.batch
     p0 = args.shared_prefix
-    if p0 and (args.kv_int8 or args.two_phase):
-        ap.error("--shared-prefix requires the bf16 KV fused path")
+    if p0 and args.two_phase:
+        ap.error("--shared-prefix requires the fused path")
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((B, 448, 448, 3)), jnp.float32)
     if p0:
@@ -123,7 +123,8 @@ def main() -> None:
         if p0:
             return generate_shared_prefix(
                 params, cfg, prefix_tokens, tokens, lengths, dp,
-                img_embs=embs, lora=lora, policy=BF16, cache_len=lane_cache)
+                img_embs=embs, lora=lora, policy=BF16, cache_len=lane_cache,
+                kv_int8=args.kv_int8)
         return generate(params, cfg, tokens, lengths, dp, img_embs=embs,
                         lora=lora, policy=BF16, cache_len=args.cache_len,
                         kv_int8=args.kv_int8)
