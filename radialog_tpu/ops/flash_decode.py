@@ -194,9 +194,20 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     s_len = k8.shape[2]
     assert k8.shape[-1] == hd, (k8.shape, h, d)
     scale = float(scale if scale is not None else d ** -0.5)
-    bs = min(bs, s_len)
-    while s_len % bs:       # buckets are multiples of 128 (e.g. 384 -> 128)
-        bs //= 2
+    # Block size: the largest divisor of s_len that is <= the requested bs
+    # and a multiple of the int8 sublane tile (32). The old halving rule
+    # degraded badly off the power-of-two buckets: s_len=448 halved
+    # 256->128->64 (64-row blocks) when 224 divides it, and s_len=400 fell
+    # all the way to 16-row blocks (26 grid steps/lane, ~5x step time).
+    bs_req = min(bs, s_len)
+    bs = 0
+    for cand in range(32, bs_req + 1, 32):
+        if s_len % cand == 0:
+            bs = cand
+    if bs == 0:             # s_len not a multiple of 32: legacy halving
+        bs = bs_req
+        while s_len % bs:
+            bs //= 2
     assert bs >= 1 and s_len % bs == 0, (s_len, bs)
     li = layer_idx
     n0 = 1 if shared is not None else 0
