@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..models.llama import (KVCache, LlamaConfig, decode_bias_static_slot,
                             find_img_start, init_cache, llama_apply,
-                            prefill_bias, quantize_kv)
+                            pad_scale_lanes, prefill_bias, quantize_kv)
 from ..ops.layers import DTypePolicy, FP32
 from .kvcache import bucket_length, install_prefill
 
@@ -196,7 +196,8 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
                                 lengths=lengths, axis_name=axis_name,
                                 last_pos=lengths - 1, shared_kv=shared)
     if kv_int8:
-        # token-flat int8 prefix, padded to the kernel's 32-row sublane tile
+        # token-flat int8 prefix, padded to the kernel's 32-row sublane tile;
+        # scales carry the dense-lane padding of the cache contract
         L, P0, H, D = shared.k.shape
         k0_8, ks0 = quantize_kv(shared.k)
         v0_8, vs0 = quantize_kv(shared.v)
@@ -205,7 +206,8 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
         shared_c = KVCache(
             jnp.pad(k0_8.reshape(L, P0, H * D), pad),
             jnp.pad(v0_8.reshape(L, P0, H * D), pad),
-            jnp.pad(ks0, pad), jnp.pad(vs0, pad))
+            jnp.pad(pad_scale_lanes(ks0), pad),
+            jnp.pad(pad_scale_lanes(vs0), pad))
     else:
         shared_c = KVCache(shared.k.astype(cache.k.dtype),
                            shared.v.astype(cache.v.dtype))

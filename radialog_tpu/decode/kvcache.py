@@ -26,7 +26,7 @@ def install_prefill(cache: KVCache, fresh: KVCache) -> KVCache:
     """Copy fresh prefill K/V (L,B,T,H,D) into slots [0, T) of the cache,
     quantizing on the way when the cache is int8."""
     if cache.quantized:
-        from ..models.llama import quantize_kv
+        from ..models.llama import pad_scale_lanes, quantize_kv
 
         # Quantize LAYER BY LAYER under a scan: quantize_kv over the whole
         # stacked (L,B,T,H,D) fresh KV materializes two full-size f32 temps
@@ -44,8 +44,10 @@ def install_prefill(cache: KVCache, fresh: KVCache) -> KVCache:
             return KVCache(
                 jax.lax.dynamic_update_slice(c.k, k8[None], (i, 0, 0, 0)),
                 jax.lax.dynamic_update_slice(c.v, v8[None], (i, 0, 0, 0)),
-                jax.lax.dynamic_update_slice(c.k_scale, ks[None], (i, 0, 0, 0)),
-                jax.lax.dynamic_update_slice(c.v_scale, vs[None], (i, 0, 0, 0))), None
+                jax.lax.dynamic_update_slice(
+                    c.k_scale, pad_scale_lanes(ks)[None], (i, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    c.v_scale, pad_scale_lanes(vs)[None], (i, 0, 0, 0))), None
 
         num_layers = fresh.k.shape[0]
         cache, _ = jax.lax.scan(

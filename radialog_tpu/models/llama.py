@@ -83,15 +83,20 @@ class KVCache(NamedTuple):
     Pallas flash-decode kernel (ops/flash_decode.py) feed each (bs, H*D)
     cache block to the MXU as one block-diagonal-q matmul with no relayout.
 
-    The scales are deliberately NOT f32: XLA's rematerialization pass
-    compresses loop-carried f32 buffers to bf16 under HBM pressure
-    (`remat_compressed` in the compile dumps), and once any member of the
-    cache tuple is compressed the decode loop pays per-step copy traffic
-    instead of updating in place — the measured 3.7x "remat cliff" that
-    capped int8-KV at batch 24 (docs/PERF.md). Storing the scales bf16 from
-    the start leaves that pass nothing to compress. Quantization divides by
-    the bf16-ROUNDED scale, so dequant stays consistent; the extra scale
-    rounding (~2^-9 relative) is far below the int8 step itself."""
+    The scales are deliberately bf16 AND padded to a dense 128-lane minor
+    dim (SCALE_LANES): XLA's rematerialization pass "compresses"
+    loop-carried buffers whose minor dim wastes tile space — a (..., H=32)
+    bf16 buffer occupies 4x its logical bytes in (8,128) lane tiles, so
+    under HBM pressure XLA relayouts it compact and copies it back around
+    EVERY use inside the decode while_loop (59 `remat_compressed` copies of
+    the scale DUS chain in the b30 compile dump = the measured 2-4x "remat
+    cliff", docs/PERF.md). Padding the stored scales to (..., 128) makes
+    the buffer dense — physical == logical bytes — so the compression pass
+    has nothing to save and leaves the loop carry alone. The kernel slices
+    lanes [:H] back out; writers pad with pad_scale_lanes. Quantization
+    divides by the bf16-ROUNDED scale, so dequant stays consistent; the
+    extra scale rounding (~2^-9 relative) is far below the int8 step
+    itself."""
 
     k: jax.Array
     v: jax.Array
@@ -107,14 +112,35 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
 
+SCALE_LANES = 128   # dense minor-dim width for loop-carried scale buffers
+
+
+def scale_lanes(num_heads: int) -> int:
+    """Stored lane width for per-token-per-head KV scales: the smallest
+    multiple of 128 >= num_heads (see KVCache — dense layout starves XLA's
+    remat-compression of the loop-carried cache)."""
+    return -(-num_heads // SCALE_LANES) * SCALE_LANES
+
+
+def pad_scale_lanes(s: jax.Array) -> jax.Array:
+    """Pad a (..., H) scale array to the stored (..., scale_lanes(H))."""
+    h = s.shape[-1]
+    sl = scale_lanes(h)
+    if sl == h:
+        return s
+    return jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, sl - h)],
+                   constant_values=1)
+
+
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if quantized:
         flat = shape[:3] + (cfg.num_kv_heads * cfg.head_dim,)
+        sc = shape[:3] + (scale_lanes(cfg.num_kv_heads),)
         return KVCache(jnp.zeros(flat, jnp.int8), jnp.zeros(flat, jnp.int8),
-                       jnp.ones(shape[:-1], jnp.bfloat16),
-                       jnp.ones(shape[:-1], jnp.bfloat16))
+                       jnp.ones(sc, jnp.bfloat16),
+                       jnp.ones(sc, jnp.bfloat16))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -303,9 +329,11 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                 jax.lax.dynamic_update_slice(
                     full_cache.v, v8[None], (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
-                    full_cache.k_scale, ks[None], (layer_idx, 0, write_pos, 0)),
+                    full_cache.k_scale, pad_scale_lanes(ks)[None],
+                    (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
-                    full_cache.v_scale, vs[None], (layer_idx, 0, write_pos, 0)))
+                    full_cache.v_scale, pad_scale_lanes(vs)[None],
+                    (layer_idx, 0, write_pos, 0)))
             if t > 1:
                 # DIRECT PREFILL into the int8 cache: attention runs on this
                 # layer's own bf16 K/V (prefill numerics identical to the
@@ -469,8 +497,9 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
     # token-flat (B,S,H*D) -> (B,S,H,D); free on the CPU/fallback path
     k8 = cache.k[layer_idx].reshape(b, s_max, nh, hd)
     v8 = cache.v[layer_idx].reshape(b, s_max, nh, hd)
-    ks = cache.k_scale[layer_idx].astype(jnp.float32)     # (B,S,H)
-    vs = cache.v_scale[layer_idx].astype(jnp.float32)
+    # stored scales carry dense lane padding -> slice the live heads back out
+    ks = cache.k_scale[layer_idx][..., :nh].astype(jnp.float32)   # (B,S,H)
+    vs = cache.v_scale[layer_idx][..., :nh].astype(jnp.float32)
     qt = q.transpose(0, 2, 1, 3)             # (B,H,T,D) — small (T=1 decode)
     q8, qs = quantize_kv(qt, jnp.float32)    # qs (B,H,T)
     # keep K/V in their native (B,S,H,D) cache layout: transposing 400MB of
@@ -492,13 +521,14 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
         k0 = k0_8.reshape(p0p, nh, hd)
         s0 = jnp.einsum("bhtd,phd->bhtp", q8.astype(jnp.int32),
                         k0.astype(jnp.int32)).astype(jnp.float32)
-        s0 = (s0 * qs[..., None] * ks0.astype(jnp.float32).T[None, :, None, :]
+        s0 = (s0 * qs[..., None]
+              * ks0[..., :nh].astype(jnp.float32).T[None, :, None, :]
               * scale)
         s0 = jnp.where(jnp.arange(p0p)[None, None, None, :] < p0, s0, NEG_INF)
         s = jnp.concatenate([s0, s], axis=-1)            # (B,H,T,P0p+S)
         p = jax.nn.softmax(s, axis=-1)
         pfx, p = p[..., :p0p], p[..., p0p:]
-        pv0 = pfx * vs0.astype(jnp.float32).T[None, :, None, :]
+        pv0 = pfx * vs0[..., :nh].astype(jnp.float32).T[None, :, None, :]
         o0 = jnp.einsum("bhtp,phd->bhtd", pv0,
                         v0_8.reshape(p0p, nh, hd).astype(jnp.float32))
     else:

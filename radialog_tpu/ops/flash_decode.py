@@ -138,18 +138,27 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+3,) int32
         def _shared():
             p0p = k0_ref.shape[1]
             row = jax.lax.broadcasted_iota(jnp.int32, (p0p, h), 0)
-            _process_block(k0_ref[0], ks0_ref[0], v0_ref[0], vs0_ref[0],
+            _process_block(k0_ref[0], ks0_ref[0][:, :h], v0_ref[0],
+                           vs0_ref[0][:, :h],
                            row < p0, qbd_ref[0], qs_ref[0],
                            m_ref, l_ref, acc_ref, e_mask, scale)
 
-    @pl.when(s_i >= n0)
+    # Live-bound clamp: slots beyond prompt_pad+step can never be valid
+    # (static-slot contract), so lane blocks past that row are DEAD — their
+    # index maps clamp to the last live block (same index as the previous
+    # grid step => the pipeline elides the DMA) and compute is skipped here.
+    # Early decode steps read ~prompt_pad rows instead of the whole cache:
+    # at serving shapes that is ~40% less KV traffic averaged over a
+    # 300-token report (docs/PERF.md).
+    @pl.when((s_i >= n0) & ((s_i - n0) * bs <= prompt_pad + step))
     def _lane():
         s_pos = ((s_i - n0) * bs
                  + jax.lax.broadcasted_iota(jnp.int32, (bs, h), 0))
         valid = (s_pos < length) | ((s_pos >= prompt_pad)
                                     & (s_pos <= prompt_pad + step))
-        _process_block(k8_ref[0, 0], ks_ref[0, 0], v8_ref[0, 0],
-                       vs_ref[0, 0], valid, qbd_ref[0], qs_ref[0],
+        # stored scales are lane-padded (..., SL >= h) — slice the live heads
+        _process_block(k8_ref[0, 0], ks_ref[0, 0][:, :h], v8_ref[0, 0],
+                       vs_ref[0, 0][:, :h], valid, qbd_ref[0], qs_ref[0],
                        m_ref, l_ref, acc_ref, e_mask, scale)
 
     @pl.when(s_i == pl.num_programs(1) - 1)
@@ -173,8 +182,11 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     """Single-token attention over one layer of a FULL stacked int8 cache.
 
     q: (B, H, D) float; k8/v8: (L, B, S, H*D) int8 (token-flat layout);
-    ks/vs: (L, B, S, H) float (bf16 in the serving cache; cast to f32
-    inside the kernel); lengths: (B,) int32; prompt_pad/step: int32
+    ks/vs: (L, B, S, SL) float with SL = scale_lanes(H) >= H — bf16 in the
+    serving cache, DENSE-lane-padded (models/llama.py KVCache: a (..., 32)
+    minor dim wastes 4x in lane tiles and XLA's remat pass compresses the
+    loop carry under HBM pressure = the b28+ capacity cliff; the kernel
+    slices lanes [:H] back out); lengths: (B,) int32; prompt_pad/step: int32
     scalars (static-slot mask); layer_idx: STATIC layer index, baked into
     the BlockSpec index maps — the kernel DMAs blocks straight out of the
     stacked cache. (Slicing the layer in XLA first would materialize a
@@ -193,6 +205,8 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     hd = h * d
     s_len = k8.shape[2]
     assert k8.shape[-1] == hd, (k8.shape, h, d)
+    sl = ks.shape[-1]   # stored scale lane width (dense-padded, >= h)
+    assert sl >= h and vs.shape[-1] == sl, (ks.shape, vs.shape, h)
     scale = float(scale if scale is not None else d ** -0.5)
     # Block size: the largest divisor of s_len that is <= the requested bs
     # and a multiple of the int8 sublane tile (32). The old halving rule
@@ -225,20 +239,27 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         jnp.asarray([step], jnp.int32).reshape(1),
         jnp.asarray([0 if p0 is None else p0], jnp.int32).reshape(1)])
 
+    nb = b  # lengths count — scalars[nb]=prompt_pad, [nb+1]=step
+
+    def lane_idx(si, sc):
+        # clamp below n0 (the shared step reuses lane block 0) AND above the
+        # last LIVE block (slots past prompt_pad+step are dead — repeating
+        # the previous index elides the DMA; the kernel skips their compute)
+        last_live = (sc[nb] + sc[nb + 1]) // bs
+        return jnp.minimum(jnp.maximum(si - n0, 0), last_live)
+
     in_specs = [
         # qbd/qs index maps ignore s_i -> DMA'd once per sequence
         pl.BlockSpec((1, hd, h), lambda bi, si, sc: (bi, 0, 0)),
         pl.BlockSpec((1, 1, h), lambda bi, si, sc: (bi, 0, 0)),
-        # lane blocks: clamp the leading shared step (si < n0) to block 0 —
-        # it is the same index as the first lane step, so no extra DMA
         pl.BlockSpec((1, 1, bs, hd),
-                     lambda bi, si, sc: (li, bi, jnp.maximum(si - n0, 0), 0)),
-        pl.BlockSpec((1, 1, bs, h),
-                     lambda bi, si, sc: (li, bi, jnp.maximum(si - n0, 0), 0)),
+                     lambda bi, si, sc: (li, bi, lane_idx(si, sc), 0)),
+        pl.BlockSpec((1, 1, bs, sl),
+                     lambda bi, si, sc: (li, bi, lane_idx(si, sc), 0)),
         pl.BlockSpec((1, 1, bs, hd),
-                     lambda bi, si, sc: (li, bi, jnp.maximum(si - n0, 0), 0)),
-        pl.BlockSpec((1, 1, bs, h),
-                     lambda bi, si, sc: (li, bi, jnp.maximum(si - n0, 0), 0)),
+                     lambda bi, si, sc: (li, bi, lane_idx(si, sc), 0)),
+        pl.BlockSpec((1, 1, bs, sl),
+                     lambda bi, si, sc: (li, bi, lane_idx(si, sc), 0)),
     ]
     operands = [qbd, qscale[:, None, :], k8, ks, v8, vs]
     if shared is not None:
@@ -249,13 +270,14 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         # prefix blocks are DMA'd once per launch, not once per lane.
         k0_8, ks0, v0_8, vs0 = shared
         p0p = k0_8.shape[1]
+        sl0 = ks0.shape[-1]
         assert k0_8.shape[0] == 1 and k0_8.shape[-1] == hd \
-            and ks0.shape[-1] == h, (k0_8.shape, ks0.shape)
+            and sl0 >= h, (k0_8.shape, ks0.shape)
         in_specs += [
             pl.BlockSpec((1, p0p, hd), lambda bi, si, sc: (0, 0, 0)),
-            pl.BlockSpec((1, p0p, h), lambda bi, si, sc: (0, 0, 0)),
+            pl.BlockSpec((1, p0p, sl0), lambda bi, si, sc: (0, 0, 0)),
             pl.BlockSpec((1, p0p, hd), lambda bi, si, sc: (0, 0, 0)),
-            pl.BlockSpec((1, p0p, h), lambda bi, si, sc: (0, 0, 0)),
+            pl.BlockSpec((1, p0p, sl0), lambda bi, si, sc: (0, 0, 0)),
         ]
         operands += [k0_8, ks0, v0_8, vs0]
 

@@ -18,6 +18,27 @@ def _unrolled_params():
         jax.tree_util.tree_map(np.asarray, params))
 
 
+def test_cache_scale_buffers_are_dense_lane_padded():
+    # KVCache contract (models/llama.py): stored scale buffers pad the head
+    # dim to a dense 128-lane minor dim so XLA's remat-compression pass has
+    # nothing to save on the loop-carried cache (the b28+ capacity cliff,
+    # docs/PERF.md). Writers pad; readers slice [:H].
+    from radialog_tpu.models.llama import (init_cache, pad_scale_lanes,
+                                           scale_lanes)
+    assert scale_lanes(4) == 128 and scale_lanes(32) == 128
+    assert scale_lanes(128) == 128 and scale_lanes(129) == 256
+    cache = init_cache(CFG, batch=2, max_len=16, quantized=True)
+    sl = scale_lanes(CFG.num_kv_heads)
+    assert cache.k_scale.shape == (CFG.num_layers, 2, 16, sl)
+    assert cache.v_scale.shape[-1] == sl and cache.k_scale.dtype == jnp.bfloat16
+    s = jnp.asarray(RNG.random((2, 3, CFG.num_kv_heads)), jnp.bfloat16)
+    p = pad_scale_lanes(s)
+    assert p.shape == (2, 3, sl)
+    np.testing.assert_array_equal(np.asarray(p[..., :CFG.num_kv_heads]),
+                                  np.asarray(s))
+    assert float(p[..., CFG.num_kv_heads:].min()) == 1.0  # inert pad value
+
+
 def test_quantize_kv_roundtrip():
     x = jnp.asarray(RNG.normal(size=(2, 5, 4, 8)), jnp.float32)
     x8, s = quantize_kv(x)
