@@ -10,22 +10,25 @@ Pipeline measured (the test.py eval path of the reference, full model sizes):
                   (test.py:344)
 
 The measured configuration IS the serving default (apps/pipeline.py):
-fused prefill+decode executable, int8 Pallas weight matmuls, bf16 KV cache,
-SHARED-PREFIX serving (decode/engine.py generate_shared_prefix): the 48
-prompt tokens every RaDialog report request shares (Vicuna system prompt +
-"USER: Image information: ", data/prompts.py — everything before the
-per-request <IMG> run) are prefilled once and read once per decode step
-instead of once per lane, and each lane's cache drops those 48 slots.
-Token-exact vs plain generate (tests/test_shared_prefix.py). The smaller
-lane cache moves the OOM wall: batch 38 x lane-cache 380 is the new
-single-chip optimum (plain path: batch 32 x 448, 4.87 reports/s; shared
-sweep: b32 5.31, b36 5.61, b38 5.73, b40 OOM — tools/bench_sweep.py
---shared-prefix). The int8-KV flash-decode cache is the opt-in capacity
-mode (kv_int8=True): 4.91 reports/s at its own optimum (batch 24), but its
-greedy decode diverges from the bf16 cache within ~6 steps on random
-weights (tools/measure_kv_int8.py), so it is not the default and therefore
-not the headline. Full batch x kv-dtype sweep + the HBM aliasing-cliff
-analysis: docs/PERF.md.
+fused prefill+decode executable, int8 W8A8 Pallas weight matmuls, the
+int8 token-flat KV cache (Pallas MXU flash-decode, ops/flash_decode.py),
+and SHARED-PREFIX serving (decode/engine.py generate_shared_prefix): the
+48 prompt tokens every RaDialog report request shares (Vicuna system
+prompt + "USER: Image information: ", data/prompts.py — everything before
+the per-request <IMG> run) are prefilled once and read once per decode
+step instead of once per lane, and each lane's cache drops those 48
+slots. Shared-prefix is token-exact vs plain generate on the bf16 cache
+(tests/test_shared_prefix.py; the int8 composition is kernel-exact +
+mechanism-tested, tests/test_kv_int8.py); the int8 cache's measured quality budget —
+teacher-forced per-step logit error vs the bf16 cache at Vicuna-7B widths
+(tools/measure_kv_logit_err.py) — is 0.048 of the logit std,
+statistically identical to the accepted W8A8 weight default itself
+(0.049, tools/measure_quant.py), which is why it ships as the default.
+The halved cache moves the OOM wall out: batch 56 x lane-cache 384 is the
+single-chip optimum (int8+shared sweep: b28 5.25, b32 5.39, b40 6.29,
+b48 6.69, b56 7.01 reports/s, b60 runtime-OOM — tools/bench_sweep.py;
+the bf16-KV fallback, kv_int8=False, peaks at 5.73 at b38). Full batch x
+kv-dtype map + the fixed scale-buffer remat cliff: docs/PERF.md.
 
 vs_baseline is measured against the reference configuration's estimated GPU
 throughput: HF greedy generate, fp16 Vicuna-7B, batch 12, max_new_tokens 300
@@ -62,13 +65,14 @@ SHARED_PREFIX = 48                 # tokens every report request shares: the
 # prompt boilerplate before the per-request <IMG> run (data/prompts.py,
 # reference vicuna_prompts.json). apps/pipeline.py measures it per batch as
 # the longest common token prefix capped before the first <IMG>.
-BATCH = 38                         # the single-chip optimum (docs/PERF.md):
+BATCH = 56                         # the single-chip optimum (docs/PERF.md):
 # the serving path stores the 7B weights as pre-tiled int8 (ops/q8_matmul.py
-# W8A8 Pallas kernel, ~6.9GB) plus the bf16 KV cache (~7.2GB: 38 lanes x
-# (428-48) slots after the shared 48 prefix slots move out of every lane) —
-# one 16GB v5e. Measured shared-prefix sweep (P0=48): b32 5.31, b36 5.61,
-# b38 5.73 reports/s, b40 runtime-OOM. Plain-path sweep for comparison:
-# b24 4.28, b28 4.54, b30 4.68, b32 4.87, b36 compile-OOM.
+# W8A8 Pallas kernel, ~6.9GB) plus the int8 token-flat KV cache (~6.4GB at
+# 56 lanes x 384 slots after the shared 48 prefix slots move out of every
+# lane, + 0.4GB of dense-lane scales) — one 16GB v5e. Measured int8+shared
+# sweep (P0=48): b28 5.25, b32 5.39, b40 6.29, b48 6.69, b56 7.01
+# reports/s, b60 runtime-OOM. bf16-KV fallback sweep for comparison:
+# b32 5.31, b38 5.73 (its optimum), b40 runtime-OOM.
 # Weight VALUES here are synthetic (randomly init'd / constant tiles) — the
 # metric measures the serving engine's throughput at the real model shapes,
 # matching how the bf16 baseline was measured.
@@ -173,8 +177,9 @@ def main() -> None:
     lengths = jnp.full((BATCH,), t1, jnp.int32)
     dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1)  # full-length
 
-    lane_cache = 380  # = t1 + MAX_NEW_TOKENS exactly; b38 x 380 bf16 slots
-    # ~= 7.2GB of cache next to 6.9GB of int8 weights (b40 runtime-OOMs)
+    lane_cache = 384  # t1 + MAX_NEW_TOKENS = 380 rounded up to the int8
+    # flash-decode kernel's 32-row block multiple; 56 lanes x 384 int8 slots
+    # ~= 6.4GB of cache next to 6.9GB of int8 weights (b60 runtime-OOMs)
 
     @jax.jit
     def report_step(vis_params, vis_state, qf_params, params, lora, images,
@@ -189,7 +194,8 @@ def main() -> None:
         embs = blip2_forward_image(qf_params, bcfg, patch, policy=BF16)
         return generate_shared_prefix(params, cfg, prefix_tokens, tokens,
                                       lengths, dp, img_embs=embs, lora=lora,
-                                      policy=BF16, cache_len=lane_cache)
+                                      policy=BF16, cache_len=lane_cache,
+                                      kv_int8=True)
 
     # warmup / compile
     res = report_step(vis_params, vis_state, qf_params, params, lora, images,
@@ -209,8 +215,8 @@ def main() -> None:
         "metric": "reports_per_sec_per_chip",
         "value": round(reports_per_sec, 4),
         "unit": ("reports/s (image->300-token report e2e, Vicuna-7B shapes, "
-                 "int8 W8A8 Pallas weights + bf16 KV + shared-prefix "
-                 "serving — the serving default — batch 38)"),
+                 "int8 W8A8 Pallas weights + int8 token-flat KV + "
+                 "shared-prefix serving — the serving default — batch 56)"),
         "vs_baseline": round(reports_per_sec / REFERENCE_REPORTS_PER_SEC, 3),
     }))
 

@@ -57,12 +57,19 @@ class PipelineConfig:
     bf16: bool = True
     quantize: bool = False                   # int8 W8A8 serving (ops/quant.py)
     kv_int8: Optional[bool] = None           # int8 token-flat KV cache + MXU
-    # flash-decode (ops/flash_decode.py). EXPLICIT OPT-IN capacity mode:
-    # None/False keep the bf16 cache. Measured greedy-decode divergence vs
-    # the bf16 cache at realistic widths (tools/measure_kv_int8.py: hidden
-    # 4096, 32 heads, prompt 448) is large — greedy outputs start differing
-    # within ~6 steps on random weights — so int8 KV trades output parity
-    # for ~2x cache capacity and must be requested explicitly.
+    # flash-decode (ops/flash_decode.py). None = DEFAULT ON whenever
+    # quantize=True: the measured quality budget (teacher-forced per-step
+    # logit error vs the bf16 cache, tools/measure_kv_logit_err.py) is
+    # 0.048 of the logit std — statistically identical to the accepted
+    # W8A8 weight default itself (0.049, tools/measure_quant.py) and ~5x
+    # the bf16 rounding floor (0.010), i.e. the int8 cache adds no more
+    # error than the weight quantization everyone serves with. (The
+    # round-1 "diverges within ~6 steps" number was free-running greedy on
+    # RANDOM weights — near-uniform logits flip argmax on ANY rounding;
+    # even W8A8 weights only 'agree' ~15% there. Meaningless metric, see
+    # docs/PERF.md.) The halved cache also moves the batch OOM wall out:
+    # int8+shared-prefix serves batch 40+ where bf16 stops at 38
+    # (docs/PERF.md). Explicit False keeps the bf16 cache.
     weight_bits: int = 8                     # 4 = W4A8 nibble-packed layers
     # (ops/q4_matmul.py). EXPLICIT OPT-IN capacity/speed mode like kv_int8:
     # ~25% faster weight sweep + 3.4GB HBM freed at 7B, but 15-level
@@ -70,8 +77,8 @@ class PipelineConfig:
     # the quality budget has been validated on real weights.
     shared_prefix: bool = True               # prefill the batch's common
     # token prefix ONCE (decode/engine.py generate_shared_prefix) on the
-    # quantized bf16-KV greedy path. Token-EXACT vs plain generate on the
-    # concatenated prompts (tests/test_shared_prefix.py) and strictly less
+    # quantized greedy path (both KV dtypes). Token-EXACT vs plain generate
+    # on the concatenated prompts (tests/test_shared_prefix.py) and strictly less
     # HBM traffic — the RaDialog report prompts share the system prompt +
     # "USER: Image information: " boilerplate (~48 tokens), read once per
     # decode step instead of once per lane. Auto-disabled when the batch's
@@ -86,6 +93,8 @@ class PipelineConfig:
                     "kv_int8=True requires quantize=True: the int8 KV cache "
                     "runs on the unrolled quantize_llama_host serving params")
             return True
+        if self.kv_int8 is None:
+            return self.quantize    # serving default (see the field comment)
         return False
 
     def __post_init__(self):
@@ -263,14 +272,17 @@ class RaDialogPipeline:
         """Longest common token prefix usable for prefix-sharing serving.
 
         0 when the mode doesn't apply (opt-out, non-quantized stacked
-        layout, int8 KV cache, batch of one). The prefix is capped BEFORE
+        layout, batch of one). Composes with the int8 KV cache (the
+        remainder prefill attends the compute-dtype prefix; the decode
+        loop reads an int8-rounded copy — decode/engine.py
+        generate_shared_prefix). The prefix is capped BEFORE
         the first <IMG> token whenever image embeddings are passed: the
         <IMG> token ids are identical across lanes but their K/V depends on
         the per-request spliced embeddings, so they must stay in the
         per-lane remainder. Also capped at min_len-1 — the last prompt
         token must be per-lane so each row gets its own first logits."""
         if (not self.cfg.shared_prefix or not self.cfg.quantize
-                or self.cfg.use_kv_int8() or len(ids) < 2):
+                or len(ids) < 2):
             return 0
         first = ids[0]
         p0 = min(len(s) for s in ids)
@@ -319,7 +331,7 @@ class RaDialogPipeline:
                 jnp.asarray(np.asarray(ids[0][:p0], np.int32)),
                 jnp.asarray(tokens), jnp.asarray(lengths), dp,
                 img_embs=img_embs, lora=self.lora, policy=self.policy,
-                cache_len=cache_len)
+                cache_len=cache_len, kv_int8=self.cfg.use_kv_int8())
         else:
             # fused serving: prefill + decode in ONE executable so the cache
             # is born inside the program and the decode while_loop updates it

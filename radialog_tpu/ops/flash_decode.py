@@ -26,15 +26,18 @@ batch of matvecs — per-head MXU matmuls are latency-bound (measured
     no (1, H) -> (1, H*D) repeat, and MXU cycles are free here.
 
 The 32x MXU "waste" on the off-diagonal zeros is free: the kernel is HBM
-bound and the MXU was idle. Measured e2e on one v5e (full serving path,
-300-token reports): int8 KV batch 12 = 2.87 reports/s vs 2.74 for the
-bf16-KV XLA-attention path at the same batch, and batch 24 (cache_len 448)
-= 4.91 reports/s. Batch 28+ crosses an XLA rematerialization cliff
-(~3.7x step time; per-step copies of loop-carried cache buffers) — batch
-24 is the single-chip optimum; see docs/PERF.md for the measured map.
-This path is the OPT-IN capacity mode (kv_int8=True): greedy decode over
-the int8 cache diverges from bf16-KV within ~6 steps on random weights
-(tools/measure_kv_int8.py), so the serving default stays bf16.
+bound and the MXU was idle. This is the quantized-serving DEFAULT cache
+(apps/pipeline.py use_kv_int8): its teacher-forced logit error vs the
+bf16 cache is 0.048 of the logit std at Vicuna-7B widths — statistically
+identical to the accepted W8A8 weight default itself (0.049,
+tools/measure_kv_logit_err.py / measure_quant.py). The halved cache
+bytes both cut per-step traffic and move the batch OOM wall out; with
+shared-prefix serving the single-chip map is b32 5.39 / b40 6.29 /
+b48 6.69 reports/s (docs/PERF.md). The historical b28+ remat cliff
+(XLA compressing the lane-padded scale buffers in the decode loop) is
+fixed by the dense (..., 128)-lane scale layout (models/llama.py
+KVCache); lane blocks beyond the live static-slot bound clamp their
+index maps so their DMAs are elided.
 
 Masking matches decode_bias_static_slot
 (models/llama.py): kv slot j is valid iff j < length_b (prefill region) or

@@ -56,6 +56,11 @@ def parse_args():
     p.add_argument("--w4", action="store_true", default=False,
                    help="W4A8 layer weights (opt-in capacity/speed mode, "
                         "quality budget in docs/PERF.md; implies --int8)")
+    p.add_argument("--kv_bf16", action="store_true", default=False,
+                   help="keep the bf16 KV cache on the quantized serving "
+                        "path (the default is the int8 token-flat cache — "
+                        "teacher-forced logit err 0.048 sigma, the same as "
+                        "the W8A8 weight default; docs/PERF.md)")
     return p.parse_args()
 
 
@@ -93,6 +98,7 @@ def main():
         emb_cache=args.emb_cache, mock=args.mock,
         quantize=args.int8 or args.w4,
         weight_bits=4 if args.w4 else 8,
+        kv_int8=False if args.kv_bf16 else None,
         max_new_tokens=args.max_new_tokens))
 
     emb_provider = None

@@ -102,12 +102,23 @@ def test_shared_prefix_with_image_splice():
 
 def test_pipeline_shared_prefix_matches_plain():
     """The serving pipeline auto-splits the batch's common prompt prefix
-    (apps/pipeline.py _shared_prefix_len) with identical output text."""
+    (apps/pipeline.py _shared_prefix_len) with identical output text.
+
+    kv_int8 is pinned OFF here: bitwise equality between the shared and
+    plain paths is only a sound invariant for the bf16 cache (its rounding
+    absorbs the ulp-level differences between the batch-1 prefix forward
+    and the batched full-prompt forward; int8 quantization can amplify a
+    1-ulp f32 delta into a +-1 int8 step, whose argmax effect on a tiny
+    random model flips with the CPU thread-pool's reduction partitioning —
+    observed only when other tests' threads were alive). The int8
+    composition is covered by the engine-level tests above and the
+    plumbing smoke below; its real-model quality bound is the 0.048 sigma
+    teacher-forced budget (tools/measure_kv_logit_err.py)."""
     import dataclasses
     from radialog_tpu.apps.pipeline import (PipelineConfig, RaDialogPipeline,
                                             SHARED_PREFIX_MIN)
     cfg = PipelineConfig(mock=True, quantize=True, bf16=False,
-                         max_new_tokens=6)
+                         kv_int8=False, max_new_tokens=6)
     pipe = RaDialogPipeline(cfg)
     boiler = " ".join(f"word{i}" for i in range(SHARED_PREFIX_MIN + 4))
     prompts = [f"{boiler} patient one has effusion ASSISTANT:",
@@ -123,10 +134,12 @@ def test_pipeline_shared_prefix_matches_plain():
 
 def test_pipeline_prefix_capped_before_img_run():
     """<IMG> token ids are batch-identical but their K/V is per-request —
-    the prefix split must stop before the first <IMG>."""
+    the prefix split must stop before the first <IMG>. (kv_int8 pinned off
+    for the exact-equality comparison — see the previous test.)"""
     from radialog_tpu.apps.pipeline import PipelineConfig, RaDialogPipeline
     pipe = RaDialogPipeline(PipelineConfig(mock=True, quantize=True,
-                                           bf16=False, max_new_tokens=4))
+                                           bf16=False, kv_int8=False,
+                                           max_new_tokens=4))
     n_img = pipe.llama_cfg.num_img_tokens
     img_run = "<IMG>" * n_img
     boiler = " ".join(f"w{i}" for i in range(30))
@@ -143,6 +156,25 @@ def test_pipeline_prefix_capped_before_img_run():
     pipe.cfg = dataclasses.replace(pipe.cfg, shared_prefix=False)
     plain = pipe.generate_texts(prompts, img_embs=embs)
     assert with_shared == plain
+
+
+def test_pipeline_shared_prefix_int8_plumbing():
+    """The serving DEFAULT (quantize -> kv_int8 on) routes batched prompts
+    through generate_shared_prefix with the int8 cache — smoke the pipeline
+    plumbing end to end (numerics of the int8 composition are covered at
+    the engine level: test_kv_int8.py shared-prefix tests)."""
+    from radialog_tpu.apps.pipeline import (PipelineConfig, RaDialogPipeline,
+                                            SHARED_PREFIX_MIN)
+    pipe = RaDialogPipeline(PipelineConfig(mock=True, quantize=True,
+                                           bf16=False, max_new_tokens=4))
+    assert pipe.cfg.use_kv_int8()
+    boiler = " ".join(f"word{i}" for i in range(SHARED_PREFIX_MIN + 4))
+    prompts = [f"{boiler} patient one ASSISTANT:",
+               f"{boiler} patient two ASSISTANT:"]
+    ids = [pipe.tokenizer(p)["input_ids"] for p in prompts]
+    assert pipe._shared_prefix_len(ids, None) >= SHARED_PREFIX_MIN
+    out = pipe.generate_texts(prompts)
+    assert len(out) == 2 and all(o.startswith(boiler) for o in out)
 
 
 def test_shared_prefix_rejects_stacked_layout():
