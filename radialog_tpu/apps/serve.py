@@ -52,7 +52,8 @@ class RaDialogServer:
                  dp: DecodeParams = DecodeParams(),
                  lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
                  steps_per_call: int = 8, donate_cache: bool = True,
-                 batcher: Optional[RingBatcher] = None):
+                 batcher: Optional[RingBatcher] = None,
+                 kv_int8: bool = False):
         # ``batcher``: serve a pre-built scheduler instead — e.g. the
         # TP-sharded parallel/tp_ring.TPRingBatcher (same host interface);
         # mutually exclusive with params/cfg.
@@ -68,7 +69,8 @@ class RaDialogServer:
                                    prompt_len=prompt_len, dp=dp, lora=lora,
                                    policy=policy,
                                    steps_per_call=steps_per_call,
-                                   donate_cache=donate_cache)
+                                   donate_cache=donate_cache,
+                                   kv_int8=kv_int8)
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._pending: List[tuple] = []      # (future, prompt, img, max_new)

@@ -254,7 +254,17 @@ class RingBatcher:
                  cache_len: int = 512, prompt_len: int = 256,
                  dp: DecodeParams = DecodeParams(),
                  lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
-                 steps_per_call: int = 1, donate_cache: bool = True):
+                 steps_per_call: int = 1, donate_cache: bool = True,
+                 kv_int8: bool = False):
+        # kv_int8: store the ring cache int8 (per-token scales, dense-lane
+        # scale buffers — models/llama.py KVCache). Halves the per-lane
+        # cache bytes, so ~2x the lanes fit the same HBM. On TPU the decode
+        # step dispatches the flash-decode kernel with the PER-LANE interval
+        # mask (a lane's valid generated slots are a rotating contiguous
+        # window of the ring — at most two slot intervals); the CPU/fallback
+        # path keeps using the explicit validity-bitmask bias. Quality bound
+        # = the same 0.048-sigma teacher-forced budget as batch serving
+        # (tools/measure_kv_logit_err.py).
         # steps_per_call > 1 amortizes the per-call dispatch cost (under the
         # TPU tunnel each jit call carries ~30ms of round-trip — measured:
         # 42.7 -> ~14 ms/tok going 1 -> 8 steps/call at 7B, 8 lanes) at the
@@ -274,17 +284,25 @@ class RingBatcher:
                 f" must exceed a session's ring span {life} "
                 f"(max_new_tokens={dp.max_new_tokens} rounded up to "
                 f"steps_per_call={k} chunks)")
+        if kv_int8 and not isinstance(params["layers"], (list, tuple)):
+            raise ValueError("kv_int8 requires the unrolled serving params "
+                             "(quantize_llama_host layout)")
         self.params, self.cfg, self.lora, self.policy = params, cfg, lora, policy
         self.lanes, self.cache_len, self.dp = lanes, cache_len, dp
         self.prompt_len, self.ring_len = prompt_len, ring_len
         self.steps_per_call = k
         self.donate_cache = donate_cache
+        self.kv_int8 = kv_int8
         self.cache = self._make_cache()
         self.valid = jnp.zeros((lanes, cache_len), jnp.bool_)
         self.ring_pos = 0                           # host ring counter
         self.cur_lens = np.zeros(lanes, np.int32)   # true token positions
         self.last_tok = np.zeros(lanes, np.int32)
         self.steps = np.zeros(lanes, np.int32)
+        # int8-kernel interval mask state (host mirrors): per-lane admitted
+        # prompt length + count of ring writes since admission
+        self.prompt_lens = np.zeros(lanes, np.int32)
+        self.ring_writes = np.zeros(lanes, np.int32)
         self.lane_session: List[Optional[Session]] = [None] * lanes
         self.queue: deque[Session] = deque()
         self.finished: Dict[int, Session] = {}
@@ -295,7 +313,8 @@ class RingBatcher:
     # host admit/evict loop and swaps only the device programs (shard_map
     # over a TP mesh) and the cache placement (heads sharded over `model`).
     def _make_cache(self):
-        return init_cache(self.cfg, self.lanes, self.cache_len)
+        return init_cache(self.cfg, self.lanes, self.cache_len,
+                          quantized=self.kv_int8)
 
     def _build_fns(self) -> None:
         cfg, prompt_len, ring_len = self.cfg, self.prompt_len, self.ring_len
@@ -307,13 +326,16 @@ class RingBatcher:
         # knob — the donated argument is also the scan carry, the exact
         # shape XLA double-buffers per docs/PERF.md). One call =
         # steps_per_call decode steps under a lax.scan; returns (k, lanes).
+        kv_int8 = self.kv_int8
+
         @partial(jax.jit,
                  donate_argnums=(2, 3) if donate_cache else ())
         def step_fn(params, lora, cache, valid, last_tok, cur_lens, active,
-                    ring_base):
+                    ring_base, prompt_lens, ring_writes):
             def body(carry, i):
-                cache, valid, last_tok, cur_lens = carry
-                slot = prompt_len + jax.lax.rem(ring_base + i, ring_len)
+                cache, valid, last_tok, cur_lens, writes = carry
+                e = jax.lax.rem(ring_base + i, ring_len)
+                slot = prompt_len + e
                 # mark the shared ring slot for active lanes BEFORE building
                 # the bias: the current token attends itself, matching the
                 # batch engine's static-slot semantics
@@ -321,16 +343,38 @@ class RingBatcher:
                     valid, active[:, None], (0, slot))
                 bias = jnp.where(valid, 0.0, NEG)[:, None, None, :]
                 pos = cur_lens[:, None]
-                logits, cache = llama_apply(
-                    params, cfg, last_tok[:, None], pos, bias, cache=cache,
-                    write_pos=slot, lora=lora, policy=self.policy)
+                if kv_int8:
+                    # per-lane interval form of the validity mask for the
+                    # flash-decode kernel: an active lane's generated slots
+                    # are the last `writes` ring positions ending at e — one
+                    # contiguous ring window = at most two slot intervals
+                    # (closed; empty marked b=-1). The CPU fallback inside
+                    # llama_apply keeps using `bias`.
+                    w_new = writes + active.astype(jnp.int32)
+                    start = e - (w_new - 1)
+                    a1 = prompt_len + jnp.maximum(start, 0)
+                    b1 = jnp.where(w_new > 0, prompt_len + e, -1)
+                    wrap = start < 0
+                    a2 = jnp.where(wrap, prompt_len + ring_len + start, 0)
+                    b2 = jnp.where(wrap, prompt_len + ring_len - 1, -1)
+                    logits, cache = llama_apply(
+                        params, cfg, last_tok[:, None], pos, bias,
+                        cache=cache, write_pos=slot, lora=lora,
+                        policy=self.policy, lengths=prompt_lens,
+                        slot_info=(a1, b1, a2, b2))
+                    writes = w_new
+                else:
+                    logits, cache = llama_apply(
+                        params, cfg, last_tok[:, None], pos, bias,
+                        cache=cache, write_pos=slot, lora=lora,
+                        policy=self.policy)
                 nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
                 last_tok = jnp.where(active, nxt, last_tok)
                 cur_lens = cur_lens + active.astype(jnp.int32)
-                return (cache, valid, last_tok, cur_lens), nxt
+                return (cache, valid, last_tok, cur_lens, writes), nxt
 
-            (cache, valid, last_tok, cur_lens), toks = jax.lax.scan(
-                body, (cache, valid, last_tok, cur_lens),
+            (cache, valid, last_tok, cur_lens, _), toks = jax.lax.scan(
+                body, (cache, valid, last_tok, cur_lens, ring_writes),
                 jnp.arange(k, dtype=jnp.int32))
             return cache, valid, last_tok, cur_lens, toks
 
@@ -346,17 +390,50 @@ class RingBatcher:
                 img_embs=img_embs, img_start=img_start, lora=lora,
                 policy=self.policy, lengths=length[None],
                 last_pos=length[None] - 1)
-            k = jax.lax.dynamic_update_slice(
-                cache.k, fresh.k.astype(cache.k.dtype), (0, lane, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                cache.v, fresh.v.astype(cache.v.dtype), (0, lane, 0, 0, 0))
+            if kv_int8:
+                # quantize the lane's fresh prompt KV layer-by-layer into
+                # its cache row (same per-layer scan as install_prefill —
+                # whole-stack quantization materializes full-size f32 temps)
+                from ..models.llama import pad_scale_lanes, quantize_kv
+
+                def qbody(c, xs):
+                    i, k_l, v_l = xs                  # (1, T, H, D)
+                    k8, ks = quantize_kv(k_l)
+                    v8, vs = quantize_kv(v_l)
+                    tt = k8.shape[1]
+                    k8 = k8.reshape(1, tt, -1)
+                    v8 = v8.reshape(1, tt, -1)
+                    return type(c)(
+                        jax.lax.dynamic_update_slice(
+                            c.k, k8[None], (i, lane, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            c.v, v8[None], (i, lane, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            c.k_scale, pad_scale_lanes(ks)[None],
+                            (i, lane, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            c.v_scale, pad_scale_lanes(vs)[None],
+                            (i, lane, 0, 0))), None
+
+                n_layers = fresh.k.shape[0]
+                cache, _ = jax.lax.scan(
+                    qbody, cache,
+                    (jnp.arange(n_layers), fresh.k, fresh.v))
+            else:
+                k = jax.lax.dynamic_update_slice(
+                    cache.k, fresh.k.astype(cache.k.dtype),
+                    (0, lane, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(
+                    cache.v, fresh.v.astype(cache.v.dtype),
+                    (0, lane, 0, 0, 0))
+                cache = type(cache)(k, v)
             # reset the lane's validity row: prompt slots [0, length) live,
             # everything else (old session leftovers, ring region) dead
             row = (jnp.arange(cache.k.shape[2]) < length)[None]
             valid = jax.lax.dynamic_update_slice(
                 valid, row, (lane, 0))
             first = jnp.argmax(logits[0, 0], axis=-1).astype(jnp.int32)
-            return type(cache)(k, v), valid, first
+            return cache, valid, first
 
         self._step_fn = step_fn
         self._prefill_fn = prefill_fn
@@ -380,8 +457,10 @@ class RingBatcher:
         cache, valid, last_tok, cur_lens, toks = self._step_fn(
             self.params, self.lora, self.cache, self.valid,
             jnp.asarray(self.last_tok), jnp.asarray(self.cur_lens),
-            jnp.asarray(active), jnp.asarray(ring_base, jnp.int32))
+            jnp.asarray(active), jnp.asarray(ring_base, jnp.int32),
+            jnp.asarray(self.prompt_lens), jnp.asarray(self.ring_writes))
         self.cache, self.valid = cache, valid
+        self.ring_writes[active] += self.steps_per_call
         # np.array (copy): _admit mutates these host-side per lane
         self.last_tok = np.array(last_tok)
         self.cur_lens = np.array(cur_lens)
@@ -439,6 +518,8 @@ class RingBatcher:
             self.cur_lens[lane] = t
             self.steps[lane] = 1
             self.last_tok[lane] = first
+            self.prompt_lens[lane] = t
+            self.ring_writes[lane] = 0
             sess.tokens.append(first)
             if first == self.dp.eos_token_id:
                 sess.done = True

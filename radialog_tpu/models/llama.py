@@ -481,17 +481,28 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
     b, t, nh, hd = q.shape
     if (t == 1 and slot_info is not None and lengths is not None
             and jax.default_backend() in ("tpu", "axon")):
-        # fused Pallas flash-decode: int8 DMA + block-diagonal-q MXU matmuls
+        # fused Pallas flash-decode: int8 DMA + block-diagonal-q MXU matmuls.
+        # slot_info is either the batch engine's global (prompt_pad, step)
+        # static-slot mask or the RingBatcher's per-lane closed intervals
+        # (a1, b1, a2, b2) over the rotating generation window.
         from ..ops.flash_decode import flash_decode_int8
-        prompt_pad, step = slot_info
         kshared = (tuple(x[None] for x in shared_layer)
                    if shared_layer is not None else None)
-        o = flash_decode_int8(q[:, 0], cache.k, cache.k_scale,
-                              cache.v, cache.v_scale,
-                              lengths, prompt_pad, step,
-                              layer_idx=layer_idx,
-                              scale=head_dim ** -0.5,
-                              shared=kshared, p0=p0)
+        if len(slot_info) == 4:
+            o = flash_decode_int8(q[:, 0], cache.k, cache.k_scale,
+                                  cache.v, cache.v_scale, lengths,
+                                  layer_idx=layer_idx,
+                                  scale=head_dim ** -0.5,
+                                  shared=kshared, p0=p0,
+                                  gen_intervals=slot_info)
+        else:
+            prompt_pad, step = slot_info
+            o = flash_decode_int8(q[:, 0], cache.k, cache.k_scale,
+                                  cache.v, cache.v_scale,
+                                  lengths, prompt_pad, step,
+                                  layer_idx=layer_idx,
+                                  scale=head_dim ** -0.5,
+                                  shared=kshared, p0=p0)
         return o[:, None].astype(q.dtype)
     s_max = cache.k.shape[2]
     # token-flat (B,S,H*D) -> (B,S,H,D); free on the CPU/fallback path
@@ -595,7 +606,9 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     sums over the sharded head/ffn dims and get psum'd before the residual
     (Megatron row-parallel reduction).
     slot_info: (prompt_pad, step) int32 scalars during static-slot decode —
-    lets the int8-KV flash-decode kernel build its own mask.
+    lets the int8-KV flash-decode kernel build its own mask. The RingBatcher
+    passes per-lane closed intervals (a1, b1, a2, b2) instead, each (B,)
+    int32, describing its rotating generation window (ops/flash_decode.py).
 
     tokens: (B, T); positions: (B, T) absolute positions for RoPE;
     bias: (B|1, 1, T, S) additive attention bias over the KV axis

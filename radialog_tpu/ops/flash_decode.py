@@ -98,13 +98,27 @@ def _process_block(k2d, ks_row, v2d, vs_row, valid, qbd, qs,
     acc_ref[:] = acc_ref[:] * alpha_exp + block_o
 
 
-def _kernel(lens_ref,                       # scalar prefetch: (B+3,) int32
+def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
             *refs,
             bs: int, heads: int, head_dim: int, scale: float,
             n0: int = 0):
-    """n0=1 adds a leading SHARED-PREFIX grid step: s_i == 0 accumulates the
-    batch-wide int8 prefix block (k0/v0 (P0p, H*D), scales (P0p, H); valid
-    rows < p0, prefetched at lens_ref[B+2]) before the per-lane cache blocks
+    """Per-lane validity is interval-encoded in the prefetched scalars
+    (B = num lanes): slot s of lane b is valid iff
+
+        s < lens[b]                                  (prompt region)
+      | a1[b] <= s <= b1[b]                          (generated interval 1)
+      | a2[b] <= s <= b2[b]                          (generated interval 2)
+
+    layout [lens(B) | a1(B) | b1(B) | a2(B) | b2(B) | p0?]. The batch
+    engine's static-slot mask is the special case a1=prompt_pad,
+    b1=prompt_pad+step, interval 2 empty (a2=0, b2=-1); the RingBatcher's
+    rotating generation window needs both intervals (it wraps the ring at
+    most once). An empty interval MUST use b=-1 so the live-bound clamp
+    ignores it.
+
+    n0=1 adds a leading SHARED-PREFIX grid step: s_i == 0 accumulates the
+    batch-wide int8 prefix block (k0/v0 (P0p, H*D), scales (P0p, SL); valid
+    rows < p0, prefetched at lens_ref[5B]) before the per-lane cache blocks
     — the prefix bytes are DMA'd once (constant index map), not once per
     lane (decode/engine.py generate_shared_prefix, kv_int8 mode)."""
     if n0:
@@ -125,9 +139,10 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+3,) int32
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     b = pl.program_id(0)
+    nb = pl.num_programs(0)
     length = lens_ref[b]
-    prompt_pad = lens_ref[pl.num_programs(0)]
-    step = lens_ref[pl.num_programs(0) + 1]
+    a1, b1 = lens_ref[nb + b], lens_ref[2 * nb + b]
+    a2, b2 = lens_ref[3 * nb + b], lens_ref[4 * nb + b]
 
     # head-expansion mask E (h, hd): E[c, j] = (j // d == c)
     e_row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
@@ -135,7 +150,7 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+3,) int32
     e_mask = e_row == e_col_h
 
     if n0:
-        p0 = lens_ref[pl.num_programs(0) + 2]
+        p0 = lens_ref[5 * nb]
 
         @pl.when(s_i == 0)
         def _shared():
@@ -146,19 +161,19 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+3,) int32
                            row < p0, qbd_ref[0], qs_ref[0],
                            m_ref, l_ref, acc_ref, e_mask, scale)
 
-    # Live-bound clamp: slots beyond prompt_pad+step can never be valid
-    # (static-slot contract), so lane blocks past that row are DEAD — their
-    # index maps clamp to the last live block (same index as the previous
-    # grid step => the pipeline elides the DMA) and compute is skipped here.
-    # Early decode steps read ~prompt_pad rows instead of the whole cache:
-    # at serving shapes that is ~40% less KV traffic averaged over a
-    # 300-token report (docs/PERF.md).
-    @pl.when((s_i >= n0) & ((s_i - n0) * bs <= prompt_pad + step))
+    # Live-bound clamp: slots beyond this lane's last valid row can never
+    # contribute, so later blocks are DEAD — their index maps clamp to the
+    # last live block (same index as the previous grid step => the pipeline
+    # elides the DMA) and compute is skipped here. Early decode steps read
+    # ~prompt_pad rows instead of the whole cache.
+    last_live = jnp.maximum(jnp.maximum(length - 1, b1), b2)
+
+    @pl.when((s_i >= n0) & ((s_i - n0) * bs <= last_live))
     def _lane():
         s_pos = ((s_i - n0) * bs
                  + jax.lax.broadcasted_iota(jnp.int32, (bs, h), 0))
-        valid = (s_pos < length) | ((s_pos >= prompt_pad)
-                                    & (s_pos <= prompt_pad + step))
+        valid = ((s_pos < length) | ((s_pos >= a1) & (s_pos <= b1))
+                 | ((s_pos >= a2) & (s_pos <= b2)))
         # stored scales are lane-padded (..., SL >= h) — slice the live heads
         _process_block(k8_ref[0, 0], ks_ref[0, 0][:, :h], v8_ref[0, 0],
                        vs_ref[0, 0][:, :h], valid, qbd_ref[0], qs_ref[0],
@@ -178,10 +193,11 @@ def _kernel(lens_ref,                       # scalar prefetch: (B+3,) int32
                                              "interpret"))
 def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                       v8: jax.Array, vs: jax.Array, lengths: jax.Array,
-                      prompt_pad, step, layer_idx: int = 0,
+                      prompt_pad=None, step=None, layer_idx: int = 0,
                       scale: float | None = None,
                       bs: int = 256, interpret: bool = False,
-                      shared=None, p0=None) -> jax.Array:
+                      shared=None, p0=None,
+                      gen_intervals=None) -> jax.Array:
     """Single-token attention over one layer of a FULL stacked int8 cache.
 
     q: (B, H, D) float; k8/v8: (L, B, S, H*D) int8 (token-flat layout);
@@ -189,8 +205,15 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     serving cache, DENSE-lane-padded (models/llama.py KVCache: a (..., 32)
     minor dim wastes 4x in lane tiles and XLA's remat pass compresses the
     loop carry under HBM pressure = the b28+ capacity cliff; the kernel
-    slices lanes [:H] back out); lengths: (B,) int32; prompt_pad/step: int32
-    scalars (static-slot mask); layer_idx: STATIC layer index, baked into
+    slices lanes [:H] back out); lengths: (B,) int32 prompt-region lengths;
+    prompt_pad/step: int32 scalars (the batch engine's static-slot mask —
+    the generated region is [prompt_pad, prompt_pad+step] for every lane);
+    gen_intervals: alternative per-lane mask (a1, b1, a2, b2), each (B,)
+    int32 — slot s is valid iff s < lengths[b] or it falls in one of the
+    two CLOSED intervals (the RingBatcher's rotating generation window,
+    which wraps the ring at most once; mark an empty interval with b=-1).
+    Exactly one of (prompt_pad, step) / gen_intervals must be given.
+    layer_idx: STATIC layer index, baked into
     the BlockSpec index maps — the kernel DMAs blocks straight out of the
     stacked cache. (Slicing the layer in XLA first would materialize a
     100MB copy per operand per step, since custom calls cannot consume
@@ -236,33 +259,45 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     eye = (jnp.arange(hd)[:, None] // d) == jnp.arange(h)[None, :]
     qbd = jnp.where(eye[None], q8.reshape(b, hd, 1), jnp.int8(0))  # (B,hd,h)
 
+    if gen_intervals is None:
+        assert prompt_pad is not None and step is not None
+        pp = jnp.asarray(prompt_pad, jnp.int32)
+        st = jnp.asarray(step, jnp.int32)
+        a1 = jnp.full((b,), pp, jnp.int32)
+        b1 = jnp.full((b,), pp + st, jnp.int32)
+        a2 = jnp.zeros((b,), jnp.int32)
+        b2 = jnp.full((b,), -1, jnp.int32)      # empty second interval
+    else:
+        assert prompt_pad is None and step is None
+        a1, b1, a2, b2 = (jnp.asarray(x, jnp.int32) for x in gen_intervals)
+
     scalars = jnp.concatenate([
-        lengths.astype(jnp.int32),
-        jnp.asarray([prompt_pad], jnp.int32).reshape(1),
-        jnp.asarray([step], jnp.int32).reshape(1),
+        lengths.astype(jnp.int32), a1, b1, a2, b2,
         jnp.asarray([0 if p0 is None else p0], jnp.int32).reshape(1)])
 
-    nb = b  # lengths count — scalars[nb]=prompt_pad, [nb+1]=step
+    nb = b  # scalar layout: [lens(B) | a1(B) | b1(B) | a2(B) | b2(B) | p0]
 
-    def lane_idx(si, sc):
+    def lane_idx(bi, si, sc):
         # clamp below n0 (the shared step reuses lane block 0) AND above the
-        # last LIVE block (slots past prompt_pad+step are dead — repeating
-        # the previous index elides the DMA; the kernel skips their compute)
-        last_live = (sc[nb] + sc[nb + 1]) // bs
-        return jnp.minimum(jnp.maximum(si - n0, 0), last_live)
+        # lane's last LIVE block (later slots are dead — repeating the
+        # previous index elides the DMA; the kernel skips their compute)
+        last_live = jnp.maximum(jnp.maximum(sc[bi] - 1, sc[2 * nb + bi]),
+                                sc[4 * nb + bi]) // bs
+        return jnp.minimum(jnp.maximum(si - n0, 0),
+                           jnp.maximum(last_live, 0))
 
     in_specs = [
         # qbd/qs index maps ignore s_i -> DMA'd once per sequence
         pl.BlockSpec((1, hd, h), lambda bi, si, sc: (bi, 0, 0)),
         pl.BlockSpec((1, 1, h), lambda bi, si, sc: (bi, 0, 0)),
         pl.BlockSpec((1, 1, bs, hd),
-                     lambda bi, si, sc: (li, bi, lane_idx(si, sc), 0)),
+                     lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
         pl.BlockSpec((1, 1, bs, sl),
-                     lambda bi, si, sc: (li, bi, lane_idx(si, sc), 0)),
+                     lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
         pl.BlockSpec((1, 1, bs, hd),
-                     lambda bi, si, sc: (li, bi, lane_idx(si, sc), 0)),
+                     lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
         pl.BlockSpec((1, 1, bs, sl),
-                     lambda bi, si, sc: (li, bi, lane_idx(si, sc), 0)),
+                     lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
     ]
     operands = [qbd, qscale[:, None, :], k8, ks, v8, vs]
     if shared is not None:

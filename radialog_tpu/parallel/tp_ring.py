@@ -104,8 +104,12 @@ class TPRingBatcher(RingBatcher):
         R = P()  # replicated: host scalars/vectors + psum'd logits products
         NEG = -1e30
 
+        # prompt_lens/ring_writes are the int8-ring interval state — unused
+        # by the bf16 TP ring (kv_int8 under TP ships via the batch engine's
+        # tp_serving path; a quantized TP ring would shard the token-flat
+        # H*D dim and is not implemented), but the host loop passes them.
         def step_body(params, lora_g, cache, valid, last_tok, cur_lens,
-                      active, ring_base):
+                      active, ring_base, prompt_lens, ring_writes):
             local = _unstack(params, pspecs)
             lora_l = _unstack(lora_g, lspecs) if lspecs is not None else None
 
@@ -132,7 +136,7 @@ class TPRingBatcher(RingBatcher):
 
         step_jit = jax.jit(
             _shard_map(step_body, mesh,
-                       (pspecs, lspecs, cache_spec, R, R, R, R, R),
+                       (pspecs, lspecs, cache_spec, R, R, R, R, R, R, R),
                        (cache_spec, R, R, R, R)),
             donate_argnums=(2, 3) if self.donate_cache else ())
         self._step_fn = step_jit

@@ -141,6 +141,56 @@ class TestRingBatcher:
             expect = [int(x) for x in np.asarray(out.tokens)[0, :n]]
             assert finished[sid].tokens == expect
 
+    def test_int8_kv_ring(self):
+        """kv_int8=True stores the ring cache int8 (interval-masked
+        flash-decode on TPU; bitmask-bias XLA fallback here on CPU).
+        Per-session outputs must track the solo int8 engine; agreement is
+        gated rather than exact because the ring stores generated KV at
+        rotated slot positions, so the (identical) valid scores are summed
+        in a different order — with int8 requantization a 1-ulp f32 delta
+        can flip a near-tie argmax on a tiny random model (same stance as
+        tests/test_shared_prefix.py). Staggered admission exercises ring
+        wrap intervals."""
+        from radialog_tpu.decode.continuous import RingBatcher
+        from radialog_tpu.ops.quant import quantize_llama_host
+
+        host = jax.tree_util.tree_map(np.asarray, PARAMS)
+        qp = quantize_llama_host(host)
+        rb = RingBatcher(qp, CFG, lanes=2, cache_len=96, prompt_len=32,
+                         dp=DecodeParams(max_new_tokens=6, eos_token_id=1),
+                         kv_int8=True)
+        assert rb.cache.quantized
+        prompts = [_prompt(5, 31), _prompt(7, 32), _prompt(4, 33)]
+        sids = [rb.submit(prompts[0])]
+        rb.step()
+        sids.append(rb.submit(prompts[1]))
+        rb.step()
+        sids.append(rb.submit(prompts[2]))
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        n_tok, n_agree = 0, 0
+        for sid, prompt in zip(sids, prompts):
+            toks = jnp.asarray(prompt, jnp.int32)[None]
+            lens = jnp.asarray([len(prompt)])
+            out = generate(qp, CFG, toks, lens,
+                           DecodeParams(max_new_tokens=6, eos_token_id=1),
+                           cache_len=64, kv_int8=True)
+            n = int(out.lengths[0])
+            expect = [int(x) for x in np.asarray(out.tokens)[0, :n]]
+            got = finished[sid].tokens
+            assert len(got) >= 1
+            m = min(len(got), len(expect))
+            n_tok += m
+            n_agree += sum(g == e for g, e in zip(got[:m], expect[:m]))
+        assert n_agree / n_tok >= 0.8, (n_agree, n_tok)
+
+    def test_int8_kv_ring_rejects_stacked(self):
+        with pytest.raises(ValueError, match="unrolled"):
+            from radialog_tpu.decode.continuous import RingBatcher
+            RingBatcher(PARAMS, CFG, lanes=1, cache_len=96, prompt_len=32,
+                        dp=DecodeParams(max_new_tokens=6, eos_token_id=1),
+                        kv_int8=True)
+
     def test_w4_quantized_layout(self):
         """The W4A8 (PackedQ4) serving layout runs continuous batching too
         — exactness vs the solo engine on the SAME quantized params."""

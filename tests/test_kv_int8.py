@@ -261,3 +261,51 @@ def test_flash_decode_int8_kernel_interpret_matches_reference():
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bhs,bshd->bhd", p, vd)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=0.05, atol=0.02)
+
+
+def test_flash_decode_int8_per_lane_intervals_matches_reference():
+    """The per-lane interval mask (gen_intervals — the RingBatcher's
+    rotating generation window) vs a dense masked reference, including a
+    lane whose window WRAPS the ring (two intervals) and a lane with an
+    empty second interval."""
+    from radialog_tpu.ops.flash_decode import flash_decode_int8
+
+    L, B, S, H, D = 2, 3, 24, 4, 8
+    rng = np.random.default_rng(11)
+    kf = rng.normal(size=(L, B, S, H, D)).astype(np.float32)
+    vf = rng.normal(size=(L, B, S, H, D)).astype(np.float32)
+    k8, ks = quantize_kv(jnp.asarray(kf))
+    v8, vs = quantize_kv(jnp.asarray(vf))
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    lengths = jnp.asarray([5, 8, 3], jnp.int32)
+    # lane 0: plain window [12, 15]; lane 1: WRAPPED window [8, 10]+[20, 23]
+    # (prompt region 8, ring 8..24); lane 2: freshly admitted, single slot
+    a1 = jnp.asarray([12, 8, 9], jnp.int32)
+    b1 = jnp.asarray([15, 10, 9], jnp.int32)
+    a2 = jnp.asarray([0, 20, 0], jnp.int32)
+    b2 = jnp.asarray([-1, 23, -1], jnp.int32)
+    li = 0
+
+    got = flash_decode_int8(
+        q, k8.reshape(L, B, S, H * D), ks, v8.reshape(L, B, S, H * D), vs,
+        lengths, layer_idx=li, bs=8, interpret=True,
+        gen_intervals=(a1, b1, a2, b2))
+
+    qs = np.maximum(np.abs(np.asarray(q)).max(-1), 1e-8) / 127.0
+    q8 = np.clip(np.round(np.asarray(q) / qs[..., None]), -127, 127)
+    qd = q8 * qs[..., None]
+    kd = (np.asarray(k8, np.float32)[li]
+          * np.asarray(ks, np.float32)[li][..., None])
+    vd = (np.asarray(v8, np.float32)[li]
+          * np.asarray(vs, np.float32)[li][..., None])
+    scores = np.einsum("bhd,bshd->bhs", qd, kd) * D ** -0.5
+    pos = np.arange(S)[None]
+    A1, B1 = np.asarray(a1)[:, None], np.asarray(b1)[:, None]
+    A2, B2 = np.asarray(a2)[:, None], np.asarray(b2)[:, None]
+    valid = ((pos < np.asarray(lengths)[:, None])
+             | ((pos >= A1) & (pos <= B1)) | ((pos >= A2) & (pos <= B2)))
+    scores = np.where(valid[:, None, :], scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhs,bshd->bhd", p, vd)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0.05, atol=0.02)

@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--w4", action="store_true",
                     help="W4A8 weights (3.6GB vs 7GB — headroom for more "
                          "lanes)")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 ring cache (per-lane interval-masked "
+                         "flash-decode; halves per-lane cache bytes — "
+                         "~2x the lanes fit)")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +76,8 @@ def main() -> None:
                      dp=DecodeParams(max_new_tokens=args.new_tokens,
                                      eos_token_id=-1),  # run full length
                      policy=BF16, steps_per_call=args.steps_per_call,
-                     donate_cache=not args.no_donate)
+                     donate_cache=not args.no_donate,
+                     kv_int8=args.kv_int8)
 
     rng = np.random.default_rng(0)
 
