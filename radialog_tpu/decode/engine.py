@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..models.llama import (KVCache, LlamaConfig, decode_bias_static_slot,
                             find_img_start, init_cache, llama_apply,
                             pad_scale_lanes, prefill_bias, quantize_kv)
+from ..ops.attention import NEG_INF
 from ..ops.layers import DTypePolicy, FP32
 from .kvcache import bucket_length, install_prefill
 
@@ -36,6 +37,8 @@ class DecodeParams:
     eos_token_id: int = 2
     temperature: float = 1.0
     do_sample: bool = False
+    top_k: int = 0                   # 0 = no top-k filter
+    top_p: float = 1.0               # 1.0 = no nucleus filter
     seed: int = 42
 
 
@@ -222,9 +225,29 @@ generate_shared_jit = partial(jax.jit, static_argnames=(
 
 
 def _select_token(logits: jax.Array, dp: DecodeParams, key) -> jax.Array:
-    if dp.do_sample:
-        return jax.random.categorical(key, logits / jnp.maximum(dp.temperature, 1e-6), axis=-1)
-    return jnp.argmax(logits, axis=-1)
+    """Greedy (reference eval default) or temperature/top-k/top-p sampling.
+
+    Filters compose HF-style: top-k first, then nucleus. All branches are
+    trace-time (dp is a static jit arg), so greedy decode pays nothing.
+    Nucleus keeps the smallest prefix of the descending-probability order
+    whose mass reaches top_p, ALWAYS including the most probable token."""
+    if not dp.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits.astype(jnp.float32) / jnp.maximum(dp.temperature, 1e-6)
+    neg = jnp.asarray(NEG_INF, logits.dtype)
+    if dp.top_k and dp.top_k > 0:
+        kth = jax.lax.top_k(logits, dp.top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, neg, logits)
+    if dp.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep entries whose PRECEDING mass is < top_p (first token always)
+        keep_sorted = (cum - probs) < dp.top_p
+        cutoff = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                         axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, neg, logits)
+    return jax.random.categorical(key, logits, axis=-1)
 
 
 def decode_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,

@@ -47,6 +47,7 @@ prompt_pad / step arrive via scalar prefetch.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -195,7 +196,7 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                       v8: jax.Array, vs: jax.Array, lengths: jax.Array,
                       prompt_pad=None, step=None, layer_idx: int = 0,
                       scale: float | None = None,
-                      bs: int = 256, interpret: bool = False,
+                      bs: int | None = None, interpret: bool = False,
                       shared=None, p0=None,
                       gen_intervals=None) -> jax.Array:
     """Single-token attention over one layer of a FULL stacked int8 cache.
@@ -239,6 +240,10 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     # degraded badly off the power-of-two buckets: s_len=448 halved
     # 256->128->64 (64-row blocks) when 224 divides it, and s_len=400 fell
     # all the way to 16-row blocks (26 grid steps/lane, ~5x step time).
+    if bs is None:
+        # 256 measured best at serving shapes; RADIALOG_FLASH_BS is the
+        # sweep knob (tools/bench_sweep.py A/Bs without code edits)
+        bs = int(os.environ.get("RADIALOG_FLASH_BS", "256"))
     bs_req = min(bs, s_len)
     bs = 0
     for cand in range(32, bs_req + 1, 32):

@@ -129,6 +129,54 @@ def test_decode_eos_early_exit():
     assert (np.asarray(r1.tokens)[0, 1:] == first).all()  # eos-padded
 
 
+def test_sampling_filters():
+    """top-k / top-p (nucleus) sampling: degenerate filters reduce to
+    greedy, a fixed seed reproduces, and the filters never select a token
+    outside the allowed set."""
+    from radialog_tpu.decode.engine import _select_token
+    p = _params()
+    toks = jnp.asarray(RNG.integers(3, 200, size=(2, 6)))
+    lens = jnp.asarray([6, 4])
+    greedy = generate(p, CFG, toks, lens,
+                      DecodeParams(max_new_tokens=5, eos_token_id=-1),
+                      cache_len=16)
+    # top_k=1 and a vanishing nucleus are greedy regardless of temperature
+    for dp in (DecodeParams(max_new_tokens=5, eos_token_id=-1,
+                            do_sample=True, top_k=1, temperature=3.0),
+               DecodeParams(max_new_tokens=5, eos_token_id=-1,
+                            do_sample=True, top_p=1e-6, temperature=3.0)):
+        r = generate(p, CFG, toks, lens, dp, cache_len=16)
+        np.testing.assert_array_equal(np.asarray(r.tokens),
+                                      np.asarray(greedy.tokens))
+    # seed determinism + seed sensitivity of the sampled path
+    dp_a = DecodeParams(max_new_tokens=8, eos_token_id=-1, do_sample=True,
+                        temperature=1.5, top_p=0.9, top_k=50, seed=7)
+    r1 = generate(p, CFG, toks, lens, dp_a, cache_len=24)
+    r2 = generate(p, CFG, toks, lens, dp_a, cache_len=24)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+    # membership: every sampled token must survive the filter applied to
+    # the same logits (checked directly on _select_token)
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(RNG.normal(size=(4, CFG.vocab_size)) * 3,
+                         jnp.float32)
+    dp_k = DecodeParams(do_sample=True, top_k=5)
+    for s in range(10):
+        tok = _select_token(logits, dp_k, jax.random.fold_in(key, s))
+        topk = jax.lax.top_k(logits, 5)[1]
+        assert all(int(tok[i]) in np.asarray(topk[i]) for i in range(4))
+    dp_p = DecodeParams(do_sample=True, top_p=0.5)
+    probs = jax.nn.softmax(logits, -1)
+    order = jnp.argsort(-probs, axis=-1)
+    cum = jnp.cumsum(jnp.take_along_axis(probs, order, -1), -1)
+    n_keep = (jnp.sum((cum - jnp.take_along_axis(probs, order, -1)) < 0.5,
+                      -1))
+    for s in range(10):
+        tok = _select_token(logits, dp_p, jax.random.fold_in(key, 100 + s))
+        for i in range(4):
+            allowed = np.asarray(order[i, :int(n_keep[i])])
+            assert int(tok[i]) in allowed
+
+
 @pytest.mark.slow
 def test_two_phase_matches_fused_generate():
     """generate_two_phase (separate prefill/decode executables, donated
