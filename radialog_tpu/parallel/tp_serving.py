@@ -267,11 +267,20 @@ def make_tp_generate(mesh: Mesh, param_specs: Dict, cfg: LlamaConfig,
                      lora_specs: Optional[Dict] = None,
                      policy: DTypePolicy = BF16,
                      cache_len: Optional[int] = None,
-                     kv_int8: bool = True):
+                     kv_int8: bool = True,
+                     shared_prefix: bool = False):
     """Compile-once factory for the sharded serving step: returns
-    fn(gparams, tokens, lengths, img_embs=None, glora=None) ->
-    GenerationResult. Reuse the SAME returned callable across requests —
-    the jit cache then hits on every call after the first per token shape."""
+    fn(gparams, tokens, lengths, img_embs=None, glora=None[,
+    prefix_tokens=...]) -> GenerationResult. Reuse the SAME returned
+    callable across requests — the jit cache then hits on every call after
+    the first per token shape.
+
+    shared_prefix=True builds the single-chip serving DEFAULT under TP:
+    the run callable then takes ``prefix_tokens`` ((P0,) int32, replicated
+    — the batch-wide common prompt boilerplate) plus per-lane REMAINDER
+    tokens/lengths, and each shard runs generate_shared_prefix over its
+    head shard (decode/engine.py; the per-shard prefix K/V covers the
+    shard's local heads, merged by the same per-shard softmax)."""
     if dp.do_sample:
         raise NotImplementedError("tp_generate is greedy/beamless")
     n_model = mesh.shape[MODEL_AXIS]
@@ -282,8 +291,11 @@ def make_tp_generate(mesh: Mesh, param_specs: Dict, cfg: LlamaConfig,
     data_spec = P(DATA_AXIS)
     tok_spec = P(DATA_AXIS, None)
     img_spec = P(DATA_AXIS, None, None)
+    R = P()
 
     in_specs = [param_specs, tok_spec, data_spec]
+    if shared_prefix:
+        in_specs.append(R)                 # prefix replicated on every chip
     if has_img:
         in_specs.append(img_spec)
     if has_lora:
@@ -291,22 +303,34 @@ def make_tp_generate(mesh: Mesh, param_specs: Dict, cfg: LlamaConfig,
 
     def body(params, tokens, lengths, *rest):
         rest = list(rest)
+        prefix = rest.pop(0) if shared_prefix else None
         imgs = rest.pop(0) if has_img else None
         lora_g = rest.pop(0) if has_lora else None
         local = _unstack(params, param_specs)
         lora_l = _unstack(lora_g, lora_specs) if has_lora else None
-        res = generate(local, cfg_local, tokens, lengths, dp,
-                       img_embs=imgs, lora=lora_l, policy=policy,
-                       cache_len=clen, kv_int8=kv_int8,
-                       axis_name=MODEL_AXIS)
+        if shared_prefix:
+            from ..decode.engine import generate_shared_prefix
+            res = generate_shared_prefix(
+                local, cfg_local, prefix, tokens, lengths, dp,
+                img_embs=imgs, lora=lora_l, policy=policy, cache_len=clen,
+                axis_name=MODEL_AXIS, kv_int8=kv_int8)
+        else:
+            res = generate(local, cfg_local, tokens, lengths, dp,
+                           img_embs=imgs, lora=lora_l, policy=policy,
+                           cache_len=clen, kv_int8=kv_int8,
+                           axis_name=MODEL_AXIS)
         return res.tokens, res.lengths, res.prompt_lengths
 
     jit_fn = jax.jit(_shard_map(body, mesh, tuple(in_specs),
                                 (tok_spec, data_spec, data_spec)))
 
-    def run(gparams, tokens, lengths, img_embs=None, glora=None
-            ) -> GenerationResult:
+    def run(gparams, tokens, lengths, img_embs=None, glora=None,
+            prefix_tokens=None) -> GenerationResult:
         args = [gparams, jnp.asarray(tokens), jnp.asarray(lengths)]
+        if shared_prefix:
+            if prefix_tokens is None:
+                raise ValueError("factory built with shared_prefix=True")
+            args.append(jnp.asarray(prefix_tokens))
         if has_img:
             if img_embs is None:
                 raise ValueError("factory built with has_img=True")

@@ -130,6 +130,51 @@ def test_tp_2way_bf16_kv_cache(serving_setup):
     assert np.asarray(res.tokens).shape == base.shape
 
 
+def test_tp_shared_prefix_int8_serving(serving_setup):
+    """The single-chip serving DEFAULT (shared prefix + int8 KV) under TP:
+    make_tp_generate(shared_prefix=True) at model=1 must reproduce the
+    unsharded generate_shared_prefix exactly (plumbing + replicated-prefix
+    spec + psum no-op); model=2 is gated on first-token equality + high
+    agreement like the plain int8 TP test (per-shard activation
+    requantization)."""
+    from radialog_tpu.decode.engine import generate_shared_prefix
+    from radialog_tpu.parallel.tp_serving import make_tp_generate
+
+    cfg, host, lora, tokens, lengths, img, dp, _ = serving_setup
+    qparams = quantize_llama_host(host)
+    p0 = 4
+    prefix = np.asarray([11, 12, 13, 14], np.int32)
+    # remainders: drop nothing — reuse the batch tokens as remainders (the
+    # <IMG> run lives there, as the pipeline splitter guarantees)
+    base = generate_shared_prefix(
+        qparams, cfg, jnp.asarray(prefix), jnp.asarray(tokens),
+        jnp.asarray(lengths), dp, img_embs=jnp.asarray(img), lora=lora,
+        policy=FP32, cache_len=40, kv_int8=True)
+    base_toks = np.asarray(base.tokens)
+
+    gl, lspecs = shard_lora(lora, cfg, 1)
+    gp, specs = shard_quantized_llama(host, cfg, 1)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    fn = make_tp_generate(mesh, specs, cfg, dp, has_img=True,
+                          lora_specs=lspecs, policy=FP32, cache_len=40,
+                          kv_int8=True, shared_prefix=True)
+    res = fn(gp, tokens, lengths, img_embs=img, glora=gl,
+             prefix_tokens=prefix)
+    np.testing.assert_array_equal(np.asarray(res.tokens), base_toks)
+
+    mesh2 = make_mesh(MeshSpec(data=4, model=2))
+    gp2, specs2 = shard_quantized_llama(host, cfg, 2)
+    gl2, lspecs2 = shard_lora(lora, cfg, 2)
+    fn2 = make_tp_generate(mesh2, specs2, cfg, dp, has_img=True,
+                           lora_specs=lspecs2, policy=FP32, cache_len=40,
+                           kv_int8=True, shared_prefix=True)
+    res2 = fn2(gp2, tokens, lengths, img_embs=img, glora=gl2,
+               prefix_tokens=prefix)
+    got = np.asarray(res2.tokens)
+    np.testing.assert_array_equal(got[:, 0], base_toks[:, 0])
+    assert (got == base_toks).mean() >= 0.8, (got, base_toks)
+
+
 def test_shard_config_validation():
     cfg = TINY_LLAMA  # 4 heads
     sc = shard_config(cfg, 2)
