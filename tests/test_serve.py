@@ -69,6 +69,34 @@ def test_bad_request_fails_its_future_only():
     srv.shutdown()
 
 
+def test_serve_int8_ring():
+    """kv_int8=True plumbs through to the RingBatcher and serves; outputs
+    track the solo int8 engine (agreement-gated — rotated ring slot order
+    can flip a near-tie on a tiny random model, tests/test_continuous.py)."""
+    from radialog_tpu.ops.quant import quantize_llama_host
+    qp = quantize_llama_host(jax.tree_util.tree_map(np.asarray, PARAMS))
+    srv = RaDialogServer(qp, CFG, lanes=2, cache_len=96, prompt_len=32,
+                         dp=DecodeParams(max_new_tokens=5, eos_token_id=1),
+                         steps_per_call=2, kv_int8=True)
+    assert srv._rb.cache.quantized
+    prompts = [_prompt(4, 60), _prompt(6, 61)]
+    futs = [srv.submit(p) for p in prompts]
+    outs = [f.result(timeout=300) for f in futs]
+    srv.shutdown()
+    n_tok = n_agree = 0
+    for prompt, got in zip(prompts, outs):
+        toks = jnp.asarray(prompt, jnp.int32)[None]
+        out = generate(qp, CFG, toks, jnp.asarray([len(prompt)]),
+                       DecodeParams(max_new_tokens=5, eos_token_id=1),
+                       cache_len=64, kv_int8=True)
+        expect = [int(x) for x in
+                  np.asarray(out.tokens)[0, :int(out.lengths[0])]]
+        m = min(len(got), len(expect))
+        n_tok += m
+        n_agree += sum(g == e for g, e in zip(got[:m], expect[:m]))
+    assert n_tok and n_agree / n_tok >= 0.8, (n_agree, n_tok)
+
+
 def test_submit_after_shutdown_raises():
     srv = RaDialogServer(PARAMS, CFG, lanes=1, cache_len=96, prompt_len=32,
                          dp=DecodeParams(max_new_tokens=4, eos_token_id=1))
