@@ -97,6 +97,48 @@ def test_serve_int8_ring():
     assert n_tok and n_agree / n_tok >= 0.8, (n_agree, n_tok)
 
 
+def test_multiturn_correction_and_qa_through_server():
+    """BASELINE config 5 end-to-end: multi-turn report correction + QA
+    flows (data/downstream.py prompt builders, matching the reference's
+    downstream_tasks/) served THROUGH the continuous-batching server —
+    each follow-up turn re-encodes the conversation so far and is admitted
+    as a new lane, interleaved with the other client's turns."""
+    from radialog_tpu.data.conversation import Conversation
+    from radialog_tpu.data.downstream import (all_qa_prompt, binary_qa_prompts,
+                                              correction_prompt)
+    from radialog_tpu.data.tokenization import WhitespaceTokenizer
+
+    tok = WhitespaceTokenizer(vocab_size=CFG.vocab_size,
+                              num_img_tokens=CFG.num_img_tokens,
+                              img_token_id=CFG.img_token_id)
+    srv = RaDialogServer(PARAMS, CFG, lanes=2, cache_len=96, prompt_len=64,
+                         dp=DecodeParams(max_new_tokens=4, eos_token_id=1),
+                         steps_per_call=2)
+
+    def turn(conv, user_text):
+        conv.append_user(user_text)
+        conv.append_assistant(None)
+        ids = tok(conv.get_prompt())["input_ids"][:48]
+        out = srv.generate(ids, timeout=300)
+        reply = tok.decode(out, skip_special_tokens=True)
+        conv.messages[-1][1] = reply
+        return reply
+
+    conv_a, conv_b = Conversation(), Conversation()
+    r1 = turn(conv_a, "Write a report.")
+    # correction turn (reference downstream_tasks/automated_correction.py)
+    corr = correction_prompt(["edema"], ["atelectasis"])
+    assert "edema" in corr and "atelectasis" in corr
+    r2 = turn(conv_a, corr)
+    # interleaved second client: binary QA turn (14 prompts; use the first)
+    qa = binary_qa_prompts(r1, ["Atelectasis"])[0]
+    r3 = turn(conv_b, qa)
+    r4 = turn(conv_b, all_qa_prompt(r3))
+    srv.shutdown()
+    assert all(isinstance(r, str) and r for r in (r1, r2, r3, r4))
+    assert len(conv_a.messages) == 4 and len(conv_b.messages) == 4
+
+
 def test_submit_after_shutdown_raises():
     srv = RaDialogServer(PARAMS, CFG, lanes=1, cache_len=96, prompt_len=32,
                          dp=DecodeParams(max_new_tokens=4, eos_token_id=1))

@@ -1,9 +1,16 @@
 #!/usr/bin/env python
-"""Quantify int8-KV greedy-decode divergence vs the bf16 KV cache.
+"""Quantify int8-KV FREE-RUNNING greedy divergence vs the bf16 KV cache.
 
-VERDICT r1 asked for an evidence-based quality bound on the kv_int8 serving
-default (the only prior evidence was a >=50% token-agreement floor on a tiny
-random model). This measures greedy token agreement between bf16-KV and
+SUPERSEDED as a quality metric by tools/measure_kv_logit_err.py: on random
+weights the logits are near-uniform, so free-running greedy agreement
+measures trajectory sensitivity (one early near-tie flip compounds into a
+different trajectory), not cache fidelity — even the accepted W8A8 weight
+default only "agrees" ~15% by this metric (tools/measure_quant.py). The
+serving default decision rests on the teacher-forced per-step logit error
+(0.048 sigma, = the W8A8 weights' own budget). This tool is kept to
+reproduce the round-1 number and the trajectory-sensitivity phenomenon.
+
+Measures greedy token agreement between bf16-KV and
 int8-KV decoding at REALISTIC widths — hidden 4096, 32 heads, head_dim 128,
 prompt ~448, 50 new tokens — over many seeds, holding the int8 W8A8 weights
 fixed so only the cache dtype differs.
