@@ -73,8 +73,9 @@ class RaDialogServer:
                                    kv_int8=kv_int8)
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
-        self._pending: List[tuple] = []      # (future, prompt, img, max_new)
+        self._pending: List[tuple] = []  # (fut, prompt, img, max_new, on_tok)
         self._futures: Dict[int, Future] = {}
+        self._streams: Dict[int, tuple] = {}   # sid -> (Session, cb, n_sent)
         self._stop = False
         self._dead: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, name="radialog-serve",
@@ -83,8 +84,18 @@ class RaDialogServer:
 
     # ------------------------------------------------------------- clients
     def submit(self, prompt_ids: List[int], img_embs=None,
-               max_new_tokens: Optional[int] = None) -> "Future[List[int]]":
-        """Queue a request from any thread; returns its future."""
+               max_new_tokens: Optional[int] = None,
+               on_tokens=None) -> "Future[List[int]]":
+        """Queue a request from any thread; returns its future.
+
+        on_tokens: optional ``callable(new_tokens: List[int], done: bool)``
+        STREAMING hook — invoked on the server thread after every decode
+        chunk with that session's freshly generated tokens (granularity =
+        ``steps_per_call``; the reference demo streams characters,
+        demo.py:349-366 — here the token deltas stream while the batch
+        keeps decoding). The final invocation has ``done=True`` (possibly
+        with an empty delta). Keep it fast and non-blocking: it runs on
+        the shared stepper thread; push to a queue for slow consumers."""
         fut: Future = Future()
         with self._work:
             if self._stop:
@@ -92,7 +103,7 @@ class RaDialogServer:
             if self._dead is not None:
                 raise RuntimeError("server died") from self._dead
             self._pending.append((fut, list(prompt_ids), img_embs,
-                                  max_new_tokens))
+                                  max_new_tokens, on_tokens))
             self._work.notify()
         return fut
 
@@ -112,7 +123,7 @@ class RaDialogServer:
     # ------------------------------------------------------------- stepper
     def _admit_pending(self, pending) -> None:
         rb = self._rb
-        for fut, prompt, img, max_new in pending:
+        for fut, prompt, img, max_new, on_tokens in pending:
             if not fut.set_running_or_notify_cancel():
                 continue
             try:
@@ -124,9 +135,30 @@ class RaDialogServer:
                 fut.set_exception(exc)
                 continue
             self._futures[sid] = fut
+            if on_tokens is not None:
+                # the Session object just enqueued by rb.submit — its
+                # .tokens list grows in place as the batcher decodes
+                self._streams[sid] = (rb.queue[-1], on_tokens, 0)
+
+    def _pump_streams(self, final: bool = False) -> None:
+        for sid in list(self._streams):
+            sess, cb, sent = self._streams[sid]
+            done = sess.done or final
+            delta = sess.tokens[sent:]
+            if delta or done:
+                try:
+                    cb(list(delta), done)
+                except Exception:
+                    # a client callback must not damage the shared loop
+                    done = True
+            if done:
+                del self._streams[sid]
+            else:
+                self._streams[sid] = (sess, cb, sent + len(delta))
 
     def _resolve_finished(self) -> None:
         rb = self._rb
+        self._pump_streams()
         for sid in [s for s in self._futures if s in rb.finished]:
             # pop from rb.finished too: retaining every Session (tokens +
             # img_embs device array) would grow memory forever
@@ -152,6 +184,7 @@ class RaDialogServer:
                 for fut in self._futures.values():
                     fut.set_exception(exc)
                 self._futures.clear()
+                self._pump_streams(final=True)
                 return
             # resolve via rb.finished, not step()'s return value: a session
             # can also finish at ADMISSION (EOS as its first token), which

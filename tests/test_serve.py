@@ -139,6 +139,28 @@ def test_multiturn_correction_and_qa_through_server():
     assert len(conv_a.messages) == 4 and len(conv_b.messages) == 4
 
 
+def test_streaming_deltas_concat_to_result():
+    """submit(on_tokens=...) streams per-chunk token deltas on the server
+    thread; the concatenation equals the future's final result and exactly
+    one invocation carries done=True."""
+    srv = RaDialogServer(PARAMS, CFG, lanes=2, cache_len=96, prompt_len=32,
+                         dp=DecodeParams(max_new_tokens=6, eos_token_id=1),
+                         steps_per_call=2)
+    events = []
+    fut = srv.submit(_prompt(5, 70),
+                     on_tokens=lambda d, done: events.append((d, done)))
+    other = srv.submit(_prompt(7, 71))          # non-streaming neighbor
+    result = fut.result(timeout=300)
+    other.result(timeout=300)
+    srv.shutdown()
+    streamed = [t for d, _ in events for t in d]
+    assert streamed == result
+    assert sum(done for _, done in events) == 1
+    assert events[-1][1] is True
+    # chunked: more than one delivery unless the session ended in one chunk
+    assert len(events) >= max(1, (len(result) - 1) // 2)
+
+
 def test_submit_after_shutdown_raises():
     srv = RaDialogServer(PARAMS, CFG, lanes=1, cache_len=96, prompt_len=32,
                          dp=DecodeParams(max_new_tokens=4, eos_token_id=1))
