@@ -268,22 +268,27 @@ class RaDialogPipeline:
 
     # ------------------------------------------------------------ generate
     def _shared_prefix_len(self, ids: List[List[int]],
-                           img_embs: Optional[jax.Array]) -> int:
+                           img_embs: Optional[jax.Array]
+                           ) -> Tuple[int, bool]:
         """Longest common token prefix usable for prefix-sharing serving.
 
-        0 when the mode doesn't apply (opt-out, non-quantized stacked
-        layout, batch of one). Composes with the int8 KV cache (the
-        remainder prefill attends the compute-dtype prefix; the decode
-        loop reads an int8-rounded copy — decode/engine.py
-        generate_shared_prefix). The prefix is capped BEFORE
-        the first <IMG> token whenever image embeddings are passed: the
-        <IMG> token ids are identical across lanes but their K/V depends on
-        the per-request spliced embeddings, so they must stay in the
-        per-lane remainder. Also capped at min_len-1 — the last prompt
-        token must be per-lane so each row gets its own first logits."""
+        Returns (p0, img_in_prefix); p0=0 when the mode doesn't apply
+        (opt-out, non-quantized stacked layout, batch of one). Composes
+        with the int8 KV cache (the remainder prefill attends the
+        compute-dtype prefix; the decode loop reads an int8-rounded copy —
+        decode/engine.py generate_shared_prefix). The prefix is capped
+        BEFORE the first <IMG> token when image embeddings DIFFER across
+        lanes (the <IMG> ids are batch-identical but their K/V depends on
+        the spliced embeddings) — but when every lane carries the SAME
+        embeddings (the downstream QA passes ask 14 questions about ONE
+        study, test.py:536-610), the <IMG> run joins the prefix and the
+        whole shared conversation history incl. the image is prefilled
+        once (img_in_prefix=True). Also capped at min_len-1 — the last
+        prompt token must be per-lane so each row gets its own first
+        logits."""
         if (not self.cfg.shared_prefix or not self.cfg.quantize
                 or len(ids) < 2):
-            return 0
+            return 0, False
         first = ids[0]
         p0 = min(len(s) for s in ids)
         for s in ids[1:]:
@@ -291,12 +296,22 @@ class RaDialogPipeline:
             while i < p0 and s[i] == first[i]:
                 i += 1
             p0 = i
-        if img_embs is not None:
+        p0 = min(p0, min(len(s) for s in ids) - 1)
+        img_in_prefix = False
+        if img_embs is not None and any(
+                self.llama_cfg.img_token_id in s for s in ids):
             img_id = self.llama_cfg.img_token_id
-            for s in ids:
-                if img_id in s:
-                    p0 = min(p0, s.index(img_id))
-        return min(p0, min(len(s) for s in ids) - 1)
+            img_cap = min(s.index(img_id) for s in ids if img_id in s)
+            arr = np.asarray(img_embs)
+            same_image = bool(np.all(arr == arr[:1]))
+            # the <IMG> run must lie ENTIRELY inside the prefix — a
+            # partially-shared splice would mix prefix/remainder K/V
+            img_end = img_cap + self.llama_cfg.num_img_tokens
+            if same_image and p0 >= img_end:
+                img_in_prefix = True
+            else:
+                p0 = min(p0, img_cap)
+        return p0, img_in_prefix
 
     def generate_texts(self, prompts: Sequence[str],
                        img_embs: Optional[jax.Array] = None,
@@ -319,10 +334,13 @@ class RaDialogPipeline:
                                 num_beams=num_beams, img_embs=img_embs,
                                 lora=self.lora, policy=self.policy,
                                 cache_len=cache_len)
-        elif (p0 := self._shared_prefix_len(ids, img_embs)) >= SHARED_PREFIX_MIN:
+        elif ((sp := self._shared_prefix_len(ids, img_embs))[0]
+              >= SHARED_PREFIX_MIN):
             # prefix-sharing serving: the common prefix's K/V is computed
             # once and read once per step; the per-lane cache covers only
-            # the remainder. Token-exact vs the plain path (tests).
+            # the remainder. When the batch shows ONE image (QA passes),
+            # the <IMG> splice moves into the shared prefix too.
+            p0, img_in_prefix = sp
             rems = [s[p0:] for s in ids]
             tokens, lengths = pad_batch_right(rems, _pad_id(self.tokenizer))
             cache_len = bucket_length(tokens.shape[1] + dp.max_new_tokens)
@@ -330,7 +348,10 @@ class RaDialogPipeline:
                 self.llama, self.llama_cfg,
                 jnp.asarray(np.asarray(ids[0][:p0], np.int32)),
                 jnp.asarray(tokens), jnp.asarray(lengths), dp,
-                img_embs=img_embs, lora=self.lora, policy=self.policy,
+                img_embs=None if img_in_prefix else img_embs,
+                prefix_img_embs=(jnp.asarray(img_embs)[:1]
+                                 if img_in_prefix else None),
+                lora=self.lora, policy=self.policy,
                 cache_len=cache_len, kv_int8=self.cfg.use_kv_int8())
         else:
             # fused serving: prefill + decode in ONE executable so the cache

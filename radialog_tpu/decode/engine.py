@@ -112,12 +112,19 @@ def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
 def prefix_kv(params: Dict, cfg: LlamaConfig, prefix_tokens: jax.Array,
               lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
               axis_name: Optional[str] = None,
+              img_embs: Optional[jax.Array] = None,
               ) -> KVCache:
     """Prefill a batch-wide shared prompt prefix ONCE.
 
     prefix_tokens (P0,) -> KVCache with k/v (L, P0, Hkv, D) in the COMPUTE
     dtype: the per-layer K/V that ``generate_shared_prefix`` merges into
     every sequence's attention. Unrolled serving layout only.
+
+    img_embs: optional (1, n_img, qformer_dim) — when the shared prefix
+    itself contains the <IMG> run (every lane shows the SAME image, e.g.
+    the 14-questions-per-study binary-QA pass, test.py:536-610), the
+    splice happens here, once, and the per-lane remainders carry no <IMG>
+    tokens.
 
     Dtype contract (what keeps shared-prefix numerics equal to plain
     generate): the plain path's remainder prefill attends the prefix's
@@ -129,10 +136,13 @@ def prefix_kv(params: Dict, cfg: LlamaConfig, prefix_tokens: jax.Array,
     diverge from plain generate() within a few steps."""
     p0 = prefix_tokens.shape[0]
     ln = jnp.full((1,), p0, jnp.int32)
+    img_start = (find_img_start(prefix_tokens[None], cfg.img_token_id)
+                 if img_embs is not None else None)
     _, fresh = llama_apply(
         params, cfg, prefix_tokens[None], jnp.arange(p0)[None],
         prefill_bias(ln, p0), cache=None, lora=lora, policy=policy,
-        lengths=ln, axis_name=axis_name, last_pos=jnp.zeros((1,), jnp.int32))
+        lengths=ln, axis_name=axis_name, last_pos=jnp.zeros((1,), jnp.int32),
+        img_embs=img_embs, img_start=img_start)
     return KVCache(fresh.k[:, 0], fresh.v[:, 0])
 
 
@@ -145,7 +155,8 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
                            policy: DTypePolicy = FP32,
                            cache_len: Optional[int] = None,
                            axis_name: Optional[str] = None,
-                           kv_int8: bool = False
+                           kv_int8: bool = False,
+                           prefix_img_embs: Optional[jax.Array] = None
                            ) -> GenerationResult:
     """generate() for a batch whose prompts share a literal common token
     prefix (the RaDialog report template: system prompt + instruction
@@ -155,7 +166,11 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
     tokens (B, T1): per-sequence REMAINDERS, right-padded; lengths (B,):
     remainder lengths (>= 1 — the last prompt token must be per-sequence so
     each row gets its own first logits). The <IMG> run lives in the
-    remainder (image embeddings are per-request).
+    remainder when image embeddings differ per request (img_embs); when
+    every lane shows the SAME image — the downstream QA passes ask 14
+    questions about one study (test.py:536-610) — pass prefix_img_embs
+    ((1, n_img, q) and put the <IMG> run in the prefix instead: the whole
+    conversation history including the image is then prefilled once.
 
     Vs plain generate(concat(prefix, remainder)): identical greedy math
     (one softmax over the concatenated score row — ops/attention.py
@@ -184,7 +199,7 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
             f"img_embs provides {img_embs.shape[1]} embeddings but the "
             f"prompt contract reserves {cfg.num_img_tokens} <IMG> slots")
     shared = prefix_kv(params, cfg, prefix_tokens, lora=lora, policy=policy,
-                       axis_name=axis_name)
+                       axis_name=axis_name, img_embs=prefix_img_embs)
     cache = init_cache(cfg, b, cache_len, quantized=kv_int8)
     positions = p0 + jnp.arange(t1)[None, :].repeat(b, 0)
     bias = prefill_bias(lengths, t1)

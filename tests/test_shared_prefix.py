@@ -100,6 +100,64 @@ def test_shared_prefix_with_image_splice():
                                   np.asarray(got.tokens))
 
 
+def test_shared_prefix_with_image_in_prefix():
+    """When every lane shows the SAME image (the 14-questions-per-study QA
+    passes), the <IMG> run moves INTO the shared prefix
+    (prefix_img_embs) — token-exact vs plain generate over the
+    concatenated prompts with per-lane copies of the same embeddings."""
+    qp = _unrolled_params()
+    n_img = CFG.num_img_tokens
+    # prefix: boilerplate + <IMG> run + shared history tail
+    prefix = np.full((3 + n_img + 4,), 9, np.int64)
+    prefix[3:3 + n_img] = CFG.img_token_id
+    rems = RNG.integers(3, 200, size=(2, 5))
+    rem_lens = [5, 3]
+    rems[1, 3:] = 0
+    emb1 = jnp.asarray(RNG.normal(size=(1, n_img, CFG.qformer_dim)),
+                       jnp.float32)
+    lora = lora_init(jax.random.PRNGKey(1), CFG)
+    dp = DecodeParams(max_new_tokens=5, eos_token_id=1)
+    full, full_lens = _concat_prompts(prefix, rems, rem_lens)
+    ref = generate(qp, CFG, full, full_lens, dp,
+                   img_embs=jnp.tile(emb1, (2, 1, 1)), lora=lora,
+                   cache_len=32)
+    got = generate_shared_prefix(qp, CFG, jnp.asarray(prefix),
+                                 jnp.asarray(rems), jnp.asarray(rem_lens),
+                                 dp, lora=lora, cache_len=24,
+                                 prefix_img_embs=emb1)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+
+
+def test_pipeline_qa_batch_shares_image_in_prefix():
+    """Pipeline auto-detection: a batch whose rows carry IDENTICAL image
+    embeddings (binary-QA: 14 questions about one study) shares the whole
+    conversation history INCLUDING the <IMG> run; output text equals the
+    plain path. Rows with different embeddings must still cap at <IMG>."""
+    import dataclasses
+    from radialog_tpu.apps.pipeline import PipelineConfig, RaDialogPipeline
+    pipe = RaDialogPipeline(PipelineConfig(mock=True, quantize=True,
+                                           bf16=False, kv_int8=False,
+                                           max_new_tokens=4))
+    n_img = pipe.llama_cfg.num_img_tokens
+    img_run = "<IMG>" * n_img
+    boiler = " ".join(f"w{i}" for i in range(12))
+    hist = "findings include effusion and edema ."
+    prompts = [f"{boiler} {img_run} {hist} Is there any Atelectasis? ASSISTANT:",
+               f"{boiler} {img_run} {hist} Is there any Edema? ASSISTANT:",
+               f"{boiler} {img_run} {hist} Is there any Pneumonia? ASSISTANT:"]
+    ids = [pipe.tokenizer(p)["input_ids"] for p in prompts]
+    one = RNG.normal(size=(1, n_img, pipe.llama_cfg.qformer_dim))
+    same = jnp.asarray(np.repeat(one, 3, axis=0), jnp.float32)
+    p0, img_in_prefix = pipe._shared_prefix_len(ids, same)
+    img_id = pipe.llama_cfg.img_token_id
+    assert img_in_prefix and p0 >= ids[0].index(img_id) + n_img
+    with_shared = pipe.generate_texts(prompts, img_embs=same)
+    pipe.cfg = dataclasses.replace(pipe.cfg, shared_prefix=False)
+    plain = pipe.generate_texts(prompts, img_embs=same)
+    assert with_shared == plain
+
+
 def test_pipeline_shared_prefix_matches_plain():
     """The serving pipeline auto-splits the batch's common prompt prefix
     (apps/pipeline.py _shared_prefix_len) with identical output text.
@@ -125,7 +183,7 @@ def test_pipeline_shared_prefix_matches_plain():
                f"{boiler} patient two no findings at all ASSISTANT:",
                f"{boiler} third subject ASSISTANT:"]
     ids = [pipe.tokenizer(p)["input_ids"] for p in prompts]
-    assert pipe._shared_prefix_len(ids, None) >= SHARED_PREFIX_MIN
+    assert pipe._shared_prefix_len(ids, None)[0] >= SHARED_PREFIX_MIN
     with_shared = pipe.generate_texts(prompts)
     pipe.cfg = dataclasses.replace(cfg, shared_prefix=False)
     plain = pipe.generate_texts(prompts)
@@ -148,9 +206,9 @@ def test_pipeline_prefix_capped_before_img_run():
     ids = [pipe.tokenizer(p)["input_ids"] for p in prompts]
     embs = jnp.asarray(RNG.normal(size=(2, n_img, pipe.llama_cfg.qformer_dim)),
                        jnp.float32)
-    p0 = pipe._shared_prefix_len(ids, embs)
+    p0, img_in_prefix = pipe._shared_prefix_len(ids, embs)
     img_id = pipe.llama_cfg.img_token_id
-    assert p0 <= ids[0].index(img_id)
+    assert p0 <= ids[0].index(img_id) and not img_in_prefix
     with_shared = pipe.generate_texts(prompts, img_embs=embs)
     import dataclasses
     pipe.cfg = dataclasses.replace(pipe.cfg, shared_prefix=False)
@@ -172,7 +230,7 @@ def test_pipeline_shared_prefix_int8_plumbing():
     prompts = [f"{boiler} patient one ASSISTANT:",
                f"{boiler} patient two ASSISTANT:"]
     ids = [pipe.tokenizer(p)["input_ids"] for p in prompts]
-    assert pipe._shared_prefix_len(ids, None) >= SHARED_PREFIX_MIN
+    assert pipe._shared_prefix_len(ids, None)[0] >= SHARED_PREFIX_MIN
     out = pipe.generate_texts(prompts)
     assert len(out) == 2 and all(o.startswith(boiler) for o in out)
 
