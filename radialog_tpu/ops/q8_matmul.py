@@ -67,14 +67,16 @@ def pick_bk(k: int, cap: int = 2048) -> int:
     return cap if k % cap == 0 else 1024
 
 
-def pack_q8(w: np.ndarray, bn: int = TILE_BN, b=None) -> PackedQ8:
+def pack_q8(w: np.ndarray, bn: int = TILE_BN, b=None,
+            bk: int | None = None) -> PackedQ8:
     """(K, N) float (numpy, host) -> PackedQ8 with (kt, nt, bk, bn) int8
-    tiles. Per-output-channel symmetric scales; N zero-padded to bn."""
+    tiles. Per-output-channel symmetric scales; N zero-padded to bn.
+    bk overrides the pick_bk default (tile-size sweeps)."""
     w = np.asarray(w, np.float32)
     k, n = w.shape
     scale = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-8).astype(np.float32)
     w_q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
-    bk = pick_bk(k)
+    bk = pick_bk(k) if bk is None else bk
     npad = (-n) % bn
     kpad = (-k) % bk
     if npad or kpad:
