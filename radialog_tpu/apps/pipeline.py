@@ -71,7 +71,8 @@ class PipelineConfig:
     # int8+shared-prefix serves batch 40+ where bf16 stops at 38
     # (docs/PERF.md). Explicit False keeps the bf16 cache.
     weight_bits: int = 8                     # 4 = W4A8 nibble-packed layers
-    # (ops/q4_matmul.py). EXPLICIT OPT-IN capacity/speed mode like kv_int8:
+    # (ops/q4_matmul.py). EXPLICIT OPT-IN capacity/speed mode (unlike
+    # kv_int8 above, which defaults on with quantize):
     # ~25% faster weight sweep + 3.4GB HBM freed at 7B, but 15-level
     # group-wise weights are NOT the near-lossless default — use only where
     # the quality budget has been validated on real weights.
@@ -302,8 +303,15 @@ class RaDialogPipeline:
                 self.llama_cfg.img_token_id in s for s in ids):
             img_id = self.llama_cfg.img_token_id
             img_cap = min(s.index(img_id) for s in ids if img_id in s)
-            arr = np.asarray(img_embs)
-            same_image = bool(np.all(arr == arr[:1]))
+            # tiny probe first: hauling the full (B,32,768) tensor host-side
+            # per generate call violates the tunnel rule (CLAUDE.md: D2H is
+            # ~1 GB/s); different images essentially always differ in the
+            # first few dims, so the common case transfers <1 KB
+            probe = np.asarray(img_embs[:, :1, :8])
+            same_image = bool(np.all(probe == probe[:1]))
+            if same_image:
+                arr = np.asarray(img_embs)
+                same_image = bool(np.all(arr == arr[:1]))
             # the <IMG> run must lie ENTIRELY inside the prefix — a
             # partially-shared splice would mix prefix/remainder K/V
             img_end = img_cap + self.llama_cfg.num_img_tokens

@@ -149,8 +149,17 @@ class RaDialogServer:
                 try:
                     cb(list(delta), done)
                 except Exception:
-                    # a client callback must not damage the shared loop
-                    done = True
+                    # a client callback must not damage the shared loop —
+                    # but the submit() contract promises a final done=True
+                    # invocation, so attempt exactly one before dropping
+                    # the stream (a consumer that closes its queue only on
+                    # done=True would otherwise wait forever)
+                    if not done:
+                        done = True
+                        try:
+                            cb([], True)
+                        except Exception:
+                            pass
             if done:
                 del self._streams[sid]
             else:
@@ -180,10 +189,18 @@ class RaDialogServer:
                 rb.step()       # requests were pre-validated, so an error
             except Exception as exc:  # here is shared-state damage: fatal
                 with self._work:
+                    # drain _pending under the SAME lock that sets _dead:
+                    # a submit() racing this block either lands in the
+                    # drained list (failed below) or sees _dead and raises
+                    # — never a forever-pending future
                     self._dead = exc
+                    pending, self._pending = self._pending, []
                 for fut in self._futures.values():
                     fut.set_exception(exc)
                 self._futures.clear()
+                for fut, *_ in pending:
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_exception(exc)
                 self._pump_streams(final=True)
                 return
             # resolve via rb.finished, not step()'s return value: a session

@@ -52,6 +52,7 @@ from ..models.llama import (LlamaConfig, decode_bias, find_img_start,
                             init_cache, llama_apply, prefill_bias)
 from ..ops.layers import DTypePolicy, FP32
 from .engine import DecodeParams
+from .kvcache import install_prefill
 
 
 def _bucket32(n: int) -> int:
@@ -390,43 +391,11 @@ class RingBatcher:
                 img_embs=img_embs, img_start=img_start, lora=lora,
                 policy=self.policy, lengths=length[None],
                 last_pos=length[None] - 1)
-            if kv_int8:
-                # quantize the lane's fresh prompt KV layer-by-layer into
-                # its cache row (same per-layer scan as install_prefill —
-                # whole-stack quantization materializes full-size f32 temps)
-                from ..models.llama import pad_scale_lanes, quantize_kv
-
-                def qbody(c, xs):
-                    i, k_l, v_l = xs                  # (1, T, H, D)
-                    k8, ks = quantize_kv(k_l)
-                    v8, vs = quantize_kv(v_l)
-                    tt = k8.shape[1]
-                    k8 = k8.reshape(1, tt, -1)
-                    v8 = v8.reshape(1, tt, -1)
-                    return type(c)(
-                        jax.lax.dynamic_update_slice(
-                            c.k, k8[None], (i, lane, 0, 0)),
-                        jax.lax.dynamic_update_slice(
-                            c.v, v8[None], (i, lane, 0, 0)),
-                        jax.lax.dynamic_update_slice(
-                            c.k_scale, pad_scale_lanes(ks)[None],
-                            (i, lane, 0, 0)),
-                        jax.lax.dynamic_update_slice(
-                            c.v_scale, pad_scale_lanes(vs)[None],
-                            (i, lane, 0, 0))), None
-
-                n_layers = fresh.k.shape[0]
-                cache, _ = jax.lax.scan(
-                    qbody, cache,
-                    (jnp.arange(n_layers), fresh.k, fresh.v))
-            else:
-                k = jax.lax.dynamic_update_slice(
-                    cache.k, fresh.k.astype(cache.k.dtype),
-                    (0, lane, 0, 0, 0))
-                v = jax.lax.dynamic_update_slice(
-                    cache.v, fresh.v.astype(cache.v.dtype),
-                    (0, lane, 0, 0, 0))
-                cache = type(cache)(k, v)
+            # the single-lane prefill writes through the SAME helper the
+            # whole-batch engine uses — the int8 layout contract (token-flat
+            # reshape, bf16-rounded scales, dense-lane padding) lives in one
+            # place (kvcache.install_prefill), offset to this lane's row
+            cache = install_prefill(cache, fresh, lane=lane)
             # reset the lane's validity row: prompt slots [0, length) live,
             # everything else (old session leftovers, ring region) dead
             row = (jnp.arange(cache.k.shape[2]) < length)[None]
@@ -496,9 +465,19 @@ class RingBatcher:
                 f"{self.prompt_len}")
         max_new = (self.dp.max_new_tokens if max_new_tokens is None
                    else max_new_tokens)
-        if max_new >= self.ring_len:
+        # a session occupies whole CHUNKS of ring writes (a lane keeps
+        # decoding to the chunk boundary after its last real token), so the
+        # bound is the chunk-rounded span — raw max_new < ring_len is not
+        # enough: e.g. ring 256, steps_per_call 10, max_new 255 writes
+        # ceil(254/10)*10 = 260 slots and wraps onto its own live KV while
+        # the validity mask still marks the overwritten slots live.
+        k = self.steps_per_call
+        life = -(-max(max_new - 1, 1) // k) * k
+        if life >= self.ring_len:
             raise ValueError(
-                f"max_new_tokens {max_new} >= ring {self.ring_len}")
+                f"max_new_tokens {max_new} needs {life} ring writes "
+                f"(rounded up to steps_per_call={k} chunks) >= ring "
+                f"{self.ring_len}")
 
     def _admit(self) -> None:
         while self.queue and self.active_lanes < self.lanes:

@@ -198,6 +198,15 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
         raise ValueError(
             f"img_embs provides {img_embs.shape[1]} embeddings but the "
             f"prompt contract reserves {cfg.num_img_tokens} <IMG> slots")
+    if (prefix_img_embs is not None
+            and prefix_img_embs.shape[1] != cfg.num_img_tokens):
+        # same contract as img_embs: prefix_kv splices these rows at the
+        # <IMG> start with dynamic_update_slice — a wrong count silently
+        # overwrites real token embeddings / leaves <IMG> rows unspliced
+        raise ValueError(
+            f"prefix_img_embs provides {prefix_img_embs.shape[1]} embeddings "
+            f"but the prompt contract reserves {cfg.num_img_tokens} <IMG> "
+            f"slots")
     shared = prefix_kv(params, cfg, prefix_tokens, lora=lora, policy=policy,
                        axis_name=axis_name, img_embs=prefix_img_embs)
     cache = init_cache(cfg, b, cache_len, quantized=kv_int8)

@@ -22,9 +22,14 @@ def bucket_length(n: int, buckets=(128, 256, 384, 512, 768, 1024, 1536, 2048)) -
     return ((n + 127) // 128) * 128
 
 
-def install_prefill(cache: KVCache, fresh: KVCache) -> KVCache:
+def install_prefill(cache: KVCache, fresh: KVCache, lane=0) -> KVCache:
     """Copy fresh prefill K/V (L,B,T,H,D) into slots [0, T) of the cache,
-    quantizing on the way when the cache is int8."""
+    quantizing on the way when the cache is int8.
+
+    ``lane``: batch offset (static or traced) — the single place that owns
+    the int8 layout contract (token-flat reshape, bf16-rounded scales,
+    dense-lane padding). The RingBatcher writes one lane's prefill into a
+    multi-lane cache through this same helper (decode/continuous.py)."""
     if cache.quantized:
         from ..models.llama import pad_scale_lanes, quantize_kv
 
@@ -42,19 +47,20 @@ def install_prefill(cache: KVCache, fresh: KVCache) -> KVCache:
             k8 = k8.reshape(b, t, -1)              # token-flat (B,T,H*D)
             v8 = v8.reshape(b, t, -1)
             return KVCache(
-                jax.lax.dynamic_update_slice(c.k, k8[None], (i, 0, 0, 0)),
-                jax.lax.dynamic_update_slice(c.v, v8[None], (i, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(c.k, k8[None], (i, lane, 0, 0)),
+                jax.lax.dynamic_update_slice(c.v, v8[None], (i, lane, 0, 0)),
                 jax.lax.dynamic_update_slice(
-                    c.k_scale, pad_scale_lanes(ks)[None], (i, 0, 0, 0)),
+                    c.k_scale, pad_scale_lanes(ks)[None], (i, lane, 0, 0)),
                 jax.lax.dynamic_update_slice(
-                    c.v_scale, pad_scale_lanes(vs)[None], (i, 0, 0, 0))), None
+                    c.v_scale, pad_scale_lanes(vs)[None],
+                    (i, lane, 0, 0))), None
 
         num_layers = fresh.k.shape[0]
         cache, _ = jax.lax.scan(
             body, cache, (jnp.arange(num_layers), fresh.k, fresh.v))
         return cache
     k = jax.lax.dynamic_update_slice(cache.k, fresh.k.astype(cache.k.dtype),
-                                     (0, 0, 0, 0, 0))
+                                     (0, lane, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(cache.v, fresh.v.astype(cache.v.dtype),
-                                     (0, 0, 0, 0, 0))
+                                     (0, lane, 0, 0, 0))
     return KVCache(k, v)

@@ -255,3 +255,17 @@ class TestRingBatcher:
         with pytest.raises(ValueError, match="ring"):
             RingBatcher(PARAMS, CFG, lanes=1, cache_len=64, prompt_len=32,
                         dp=DecodeParams(max_new_tokens=40, eos_token_id=1))
+
+
+def test_validate_request_chunk_rounded_ring_bound():
+    """A session occupies whole steps_per_call CHUNKS of ring writes, so the
+    admission bound must reject max_new values whose chunk-rounded span
+    reaches ring_len even when the raw count is below it (the overflow would
+    wrap onto the session's own live KV with the validity mask still set)."""
+    from radialog_tpu.decode.continuous import RingBatcher
+    rb = RingBatcher(PARAMS, CFG, lanes=1, cache_len=96, prompt_len=32,
+                     dp=DecodeParams(max_new_tokens=8, eos_token_id=1),
+                     steps_per_call=8)                 # ring_len = 64
+    rb.validate_request(4, max_new_tokens=57)          # 56 writes < 64: ok
+    with pytest.raises(ValueError):
+        rb.validate_request(4, max_new_tokens=60)      # ceil(59/8)*8 = 64

@@ -170,3 +170,27 @@ def test_submit_after_shutdown_raises():
         raise AssertionError("expected RuntimeError after shutdown")
     except RuntimeError:
         pass
+
+
+def test_raising_stream_callback_still_gets_final_done():
+    """A callback that raises mid-stream is dropped from further deltas, but
+    the submit() contract (final invocation has done=True) is still honored
+    with one last cb([], True) — a consumer that closes its queue only on
+    done=True must not hang. The future itself is unaffected."""
+    srv = RaDialogServer(PARAMS, CFG, lanes=1, cache_len=96, prompt_len=32,
+                         dp=DecodeParams(max_new_tokens=6, eos_token_id=1),
+                         steps_per_call=2)
+    events = []
+
+    def cb(delta, done):
+        events.append((list(delta), done))
+        if len(events) == 1:
+            raise RuntimeError("transient consumer failure")
+
+    fut = srv.submit(_prompt(5, 95), on_tokens=cb)
+    result = fut.result(timeout=300)
+    srv.shutdown()
+    assert len(result) > 0                      # future unaffected
+    assert events[0][1] is False or len(events) == 1
+    assert events[-1] == ([], True)             # the promised final call
+    assert len(events) == 2                     # dropped after the failure

@@ -32,7 +32,8 @@ def main() -> None:
     ap.add_argument("--new-tokens", type=int, default=10)  # test.py:553
     ap.add_argument("--batch", type=int, default=14)       # 14 findings
     ap.add_argument("--runs", type=int, default=4)
-    ap.add_argument("--kv-int8", action="store_true", default=True)
+    ap.add_argument("--kv-int8", action=argparse.BooleanOptionalAction,
+                    default=True, help="--no-kv-int8 measures the bf16 cache")
     args = ap.parse_args()
 
     import jax
