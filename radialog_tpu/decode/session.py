@@ -111,6 +111,45 @@ class InteractiveSession:
         self._last_logits = None
         return new_ids
 
+    def generate_spec(self, dp: DecodeParams, k: int = 4,
+                      m: int = 3) -> List[int]:
+        """``generate`` with prompt-lookup speculative decoding
+        (decode/speculative.py): one (k+1)-token verification forward per
+        loop iteration, accepting drafts matched from the conversation
+        history. Token-identical to ``generate``; faster whenever the reply
+        echoes the history — correction turns regenerate the report under
+        discussion, QA answers quote finding phrases. Single-sequence slots
+        == positions here, exactly the batch-1 contract the speculative
+        loop requires."""
+        from .speculative import spec_decode_loop
+
+        if self._last_logits is None:
+            raise RuntimeError("append_tokens must run before generate_spec")
+        if self.cur_len + dp.max_new_tokens + k + 1 > self.cache_len:
+            raise ValueError("conversation overflow")
+        if k + 1 > 16:
+            # the final verification block can leave up to k-1 stale KV
+            # slots past cur_len; the next turn's 16-bucketed append
+            # overwrites them before anything attends that region — the
+            # same invariant as the append padding tail (class docstring)
+            raise ValueError("session speculative decode supports k <= 15")
+        hist = jnp.full((self.cache_len,), -1, jnp.int32)
+        hist = hist.at[:self.cur_len].set(
+            jnp.asarray(self.token_ids, jnp.int32))
+        res, cache = spec_decode_loop(
+            self.params, self.cfg, self.cache, self._last_logits,
+            self.cur_len, dp, k, m, hist, lora=self.lora, policy=self.policy)
+        self.cache = cache
+        n = int(res.lengths[0])
+        new_ids = [int(x) for x in np.asarray(res.tokens)[0, :n]]
+        written = max(n - 1, 0)
+        self.cur_len += written
+        self.token_ids.extend(new_ids[:written])
+        tail = new_ids[written:]
+        self._pending_tail = [t for t in tail if t != dp.eos_token_id]
+        self._last_logits = None
+        return new_ids
+
 
 def decode_loop_with_cache(params, cfg, cache, first_logits, prompt_lengths,
                            dp, lora=None, policy=FP32, prompt_pad=None):

@@ -295,7 +295,8 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      direct_cache=None,
                      lengths: Optional[jax.Array] = None,
                      slot_info=None,
-                     shared_layer=None):
+                     shared_layer=None,
+                     verify: bool = False):
     """One layer's attention. cache_layer: (B,S,H,D) k/v for this layer, or
     None at prefill (fresh K/V are returned for bulk cache install);
     direct_cache: (ck_full, cv_full, static layer idx) for the unrolled
@@ -334,7 +335,7 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                 jax.lax.dynamic_update_slice(
                     full_cache.v_scale, pad_scale_lanes(vs)[None],
                     (layer_idx, 0, write_pos, 0)))
-            if t > 1:
+            if t > 1 and not verify:
                 # DIRECT PREFILL into the int8 cache: attention runs on this
                 # layer's own bf16 K/V (prefill numerics identical to the
                 # bf16 path — the int8 rounding only affects DECODE reads),
@@ -391,12 +392,14 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                 rep = nh // nkv
                 k0 = jnp.repeat(k0, rep, axis=1)
                 v0 = jnp.repeat(v0, rep, axis=1)
-        if t > 1:
+        if t > 1 and not verify:
             # DIRECT PREFILL into the bf16 cache: attend this layer's own
             # fresh K/V in the compute dtype (numerics identical to the
             # no-cache prefill), store to the cache above — no stacked
             # fresh-KV array, no separate install pass (see the quantized
-            # branch's rationale).
+            # branch's rationale). ``verify`` (speculative decoding,
+            # decode/speculative.py) instead attends the FULL cache with a
+            # t-token query block — the static-layer-slice path below.
             k_loc, v_loc = k, v
             if nkv != nh:
                 rep = nh // nkv
@@ -591,8 +594,14 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 axis_name: Optional[str] = None,
                 last_pos: Optional[jax.Array] = None,
                 shared_kv: Optional[KVCache] = None,
-                shared_p0: Optional[jax.Array] = None):
+                shared_p0: Optional[jax.Array] = None,
+                verify: bool = False):
     """Core transformer. Returns (logits, new_cache).
+    verify: static — speculative-decoding verification step
+    (decode/speculative.py): a t>1 query block that attends the FULL cache
+    (plus its own freshly written slots) instead of being treated as a
+    prefill. Only meaningful on the unrolled serving path; the stacked scan
+    path's cached decode already attends the full cache for any t.
     shared_kv: (L, P0, Hkv, D) k/v of a batch-wide shared prompt prefix
     (unrolled serving layout + bf16 cache only) — each layer's attention
     merges [shared | per-lane] regions in one softmax so the prefix bytes
@@ -637,6 +646,13 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         if shared_kv is not None and cache is None:
             raise ValueError("shared_kv requires a pre-allocated per-lane "
                              "cache (the direct serving path)")
+        if verify and shared_kv is not None:
+            raise ValueError("speculative verification does not compose "
+                             "with prefix sharing (the shared-region merge "
+                             "is single-query)")
+        if verify and cache is None:
+            raise ValueError("verify=True needs a pre-allocated cache — a "
+                             "verification block attends prior context")
         cur_cache = cache
         fresh_k, fresh_v = [], []
         for i, lp in enumerate(params["layers"]):
@@ -656,7 +672,7 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
                 None, write_pos, policy, direct_cache=direct,
                 lengths=lengths, slot_info=slot_info,
-                shared_layer=shared_layer)
+                shared_layer=shared_layer, verify=verify)
             if cache is not None:
                 cur_cache = cache_out
             else:

@@ -25,6 +25,7 @@ def records():
     return ReportGenData(paths, split="test", truncate=3).records()
 
 
+@pytest.mark.slow
 def test_run_eval_end_to_end(pipe, records, tmp_path):
     opts = EvalOptions(batch_size=3, max_new_tokens=6, exp_name="t",
                        output_dir=str(tmp_path))
@@ -40,6 +41,7 @@ def test_run_eval_end_to_end(pipe, records, tmp_path):
     assert first.startswith('"') and first.endswith('"')
 
 
+@pytest.mark.slow
 def test_generate_texts_beams_and_sampling(pipe):
     prompts = ["USER: a ASSISTANT:", "USER: b longer prompt ASSISTANT:"]
     greedy = pipe.generate_texts(prompts, max_new_tokens=5)

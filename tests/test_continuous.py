@@ -117,6 +117,7 @@ class TestRingBatcher:
             assert finished[sid].tokens == expect, (
                 f"sid {sid}: {finished[sid].tokens} != {expect}")
 
+    @pytest.mark.slow
     def test_unrolled_quantized_layout(self):
         """The whole point of the ring: the unrolled int8 serving weights
         (scalar-slot cache writes only) run continuous batching too."""
@@ -141,6 +142,7 @@ class TestRingBatcher:
             expect = [int(x) for x in np.asarray(out.tokens)[0, :n]]
             assert finished[sid].tokens == expect
 
+    @pytest.mark.slow
     def test_int8_kv_ring(self):
         """kv_int8=True stores the ring cache int8 (interval-masked
         flash-decode on TPU; bitmask-bias XLA fallback here on CPU).
@@ -191,6 +193,7 @@ class TestRingBatcher:
                         dp=DecodeParams(max_new_tokens=6, eos_token_id=1),
                         kv_int8=True)
 
+    @pytest.mark.slow
     def test_w4_quantized_layout(self):
         """The W4A8 (PackedQ4) serving layout runs continuous batching too
         — exactness vs the solo engine on the SAME quantized params."""
@@ -225,6 +228,7 @@ class TestRingBatcher:
         for sid, prompt in zip(sids, prompts):
             assert finished[sid].tokens == _serial_reference(prompt, 8)
 
+    @pytest.mark.slow
     def test_chunked_steps_match_serial(self):
         """steps_per_call>1 (k decode steps per jit call, the dispatch-
         amortizing serving mode) must trim mid-chunk EOS/max_new garbage and

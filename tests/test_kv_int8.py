@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radialog_tpu.decode.engine import (DecodeParams, generate,
                                         generate_shared_prefix)
@@ -48,6 +49,7 @@ def test_quantize_kv_roundtrip():
     assert rel < 0.01
 
 
+@pytest.mark.slow
 def test_int8_kv_generate_close_to_bf16_cache():
     _, qp = _unrolled_params()
     toks = jnp.asarray(RNG.integers(3, 200, (2, 8)))
@@ -109,6 +111,7 @@ def test_int8_kv_teacher_forced_logit_error_bounded():
     assert norm < 0.25, f"teacher-forced logit err {norm:.3f} sigma"
 
 
+@pytest.mark.slow
 def test_int8_direct_prefill_matches_install_pass():
     """Batches >= 30 route int8 prefill through the DIRECT per-layer path
     (quantize + store into the cache inside each layer) instead of the
@@ -194,6 +197,7 @@ def test_flash_decode_int8_shared_prefix_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=0.05, atol=0.02)
 
 
+@pytest.mark.slow
 def test_int8_shared_prefix_generate_close_to_plain():
     """End-to-end generate_shared_prefix(kv_int8=True) vs plain int8
     generate over concat(prefix, remainder): the prefix is quantized with

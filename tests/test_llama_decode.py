@@ -129,6 +129,7 @@ def test_decode_eos_early_exit():
     assert (np.asarray(r1.tokens)[0, 1:] == first).all()  # eos-padded
 
 
+@pytest.mark.slow
 def test_sampling_filters():
     """top-k / top-p (nucleus) sampling: degenerate filters reduce to
     greedy, a fixed seed reproduces, and the filters never select a token

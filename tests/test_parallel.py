@@ -4,6 +4,7 @@ different placement), and batch sharding must partition over `data`."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from radialog_tpu.core.mesh import MeshSpec, make_mesh, shard_batch
@@ -48,6 +49,7 @@ def test_tp_forward_matches_unsharded():
     assert len(wq.sharding.device_set) == 8 or not wq.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_tp_generate_matches_unsharded():
     cfg = TINY_LLAMA
     params = llama_init(jax.random.PRNGKey(1), cfg)

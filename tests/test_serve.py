@@ -1,6 +1,8 @@
 """RaDialogServer: thread-safe continuous-batching front-end."""
 import threading
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +71,7 @@ def test_bad_request_fails_its_future_only():
     srv.shutdown()
 
 
+@pytest.mark.slow
 def test_serve_int8_ring():
     """kv_int8=True plumbs through to the RingBatcher and serves; outputs
     track the solo int8 engine (agreement-gated — rotated ring slot order

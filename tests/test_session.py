@@ -21,6 +21,7 @@ def _monolithic(params, ids, dp, img_embs=None, lora=None):
     return [int(x) for x in np.asarray(res.tokens)[0, :n]]
 
 
+@pytest.mark.slow
 def test_two_turn_matches_monolithic():
     params = llama_init(jax.random.PRNGKey(0), CFG)
     dp = DecodeParams(max_new_tokens=6, eos_token_id=1)

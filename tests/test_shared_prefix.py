@@ -58,6 +58,7 @@ def _concat_prompts(prefix, remainders, rem_lens):
     return jnp.asarray(full), jnp.asarray([p0 + int(n) for n in rem_lens])
 
 
+@pytest.mark.slow
 def test_shared_prefix_tokens_exact():
     qp = _unrolled_params()
     prefix = RNG.integers(3, 200, size=(6,))
@@ -77,6 +78,7 @@ def test_shared_prefix_tokens_exact():
                                   np.asarray(got.lengths))
 
 
+@pytest.mark.slow
 def test_shared_prefix_with_image_splice():
     """The <IMG> run lives in the per-request remainder."""
     qp = _unrolled_params()
@@ -100,6 +102,7 @@ def test_shared_prefix_with_image_splice():
                                   np.asarray(got.tokens))
 
 
+@pytest.mark.slow
 def test_shared_prefix_with_image_in_prefix():
     """When every lane shows the SAME image (the 14-questions-per-study QA
     passes), the <IMG> run moves INTO the shared prefix
@@ -129,6 +132,7 @@ def test_shared_prefix_with_image_in_prefix():
                                   np.asarray(got.tokens))
 
 
+@pytest.mark.slow
 def test_pipeline_qa_batch_shares_image_in_prefix():
     """Pipeline auto-detection: a batch whose rows carry IDENTICAL image
     embeddings (binary-QA: 14 questions about one study) shares the whole
@@ -158,6 +162,7 @@ def test_pipeline_qa_batch_shares_image_in_prefix():
     assert with_shared == plain
 
 
+@pytest.mark.slow
 def test_pipeline_shared_prefix_matches_plain():
     """The serving pipeline auto-splits the batch's common prompt prefix
     (apps/pipeline.py _shared_prefix_len) with identical output text.
@@ -190,6 +195,7 @@ def test_pipeline_shared_prefix_matches_plain():
     assert with_shared == plain
 
 
+@pytest.mark.slow
 def test_pipeline_prefix_capped_before_img_run():
     """<IMG> token ids are batch-identical but their K/V is per-request —
     the prefix split must stop before the first <IMG>. (kv_int8 pinned off

@@ -53,6 +53,7 @@ def _drive(batcher, prompts, imgs, max_new):
     return [batcher.finished[s].tokens for s in sids]
 
 
+@pytest.mark.slow
 def test_tp_ring_model1_matches_ring_batcher(setup):
     """model=1: no weight splitting — TP plumbing (shard_map, sharded cache,
     psum no-op, per-bucket prefill programs) must be token-exact vs the
@@ -76,6 +77,7 @@ def test_tp_ring_model1_matches_ring_batcher(setup):
     assert got == want
 
 
+@pytest.mark.slow
 def test_tp_ring_2way_prefill_exact_and_deterministic(setup):
     """model=2 over 2 devices: per-session FIRST tokens (prefill math, no
     requant divergence yet at the argmax for these seeds) must match the
@@ -107,6 +109,7 @@ def test_tp_ring_2way_prefill_exact_and_deterministic(setup):
     assert run() == got  # deterministic sharded program
 
 
+@pytest.mark.slow
 def test_server_over_tp_batcher(setup):
     """RaDialogServer(batcher=...) serves the TP scheduler unchanged: two
     client threads against a model=1 TP batcher get exactly the serial

@@ -57,6 +57,7 @@ def test_tp_single_model_shard_is_exact(serving_setup):
     np.testing.assert_array_equal(np.asarray(res.tokens), base)
 
 
+@pytest.mark.slow
 def test_tp_w4_serving(serving_setup):
     """W4A8 shards through the same path: model=1 must exactly match the
     unsharded bits=4 generate; 2-way TP re-groups the row-parallel K scales
@@ -130,6 +131,7 @@ def test_tp_2way_bf16_kv_cache(serving_setup):
     assert np.asarray(res.tokens).shape == base.shape
 
 
+@pytest.mark.slow
 def test_tp_shared_prefix_int8_serving(serving_setup):
     """The single-chip serving DEFAULT (shared prefix + int8 KV) under TP:
     make_tp_generate(shared_prefix=True) at model=1 must reproduce the

@@ -72,6 +72,7 @@ class TestLoraStep:
 
 
 class TestChexbertStep:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         cfg = BertConfig(vocab_size=64, hidden_size=16, num_layers=1,
                          num_heads=2, intermediate_size=32, max_position=16)
