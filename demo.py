@@ -25,6 +25,10 @@ def parse_args():
     p.add_argument("--mock", action="store_true", default=False)
     p.add_argument("--no-report", action="store_true", default=False,
                    help="don't auto-generate a report on image upload")
+    p.add_argument("--spec", action="store_true", default=False,
+                   help="prompt-lookup speculative decoding for replies "
+                        "(token-identical, faster on correction/QA turns — "
+                        "decode/speculative.py)")
     return p.parse_args()
 
 
@@ -49,7 +53,8 @@ def build_session(args):
         quantize=bool(m.get("quantize", False)) or m.get("weight_bits", 8) != 8,
         kv_int8=m.get("kv_int8"),
         weight_bits=int(m.get("weight_bits", 8))))
-    return ChatSession(pipe, gen_report=not args.no_report)
+    return ChatSession(pipe, gen_report=not args.no_report,
+                       speculative=args.spec)
 
 
 def cli_loop(session):

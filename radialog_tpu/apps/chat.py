@@ -39,9 +39,12 @@ class ChatSession:
 
     def __init__(self, pipe: RaDialogPipeline, gen_report: bool = True,
                  precomputed_findings: Optional[Dict[str, List[str]]] = None,
-                 prefix_cache: bool = True, cache_len: int = 2048):
+                 prefix_cache: bool = True, cache_len: int = 2048,
+                 speculative: bool = False, spec_k: int = 5):
         self.pipe = pipe
         self.gen_report = gen_report
+        self.speculative = speculative and prefix_cache
+        self.spec_k = spec_k
         self.precomputed = precomputed_findings or {}
         self.conv = Conversation(system=DEMO_SYSTEM)
         self.img_embs = None
@@ -126,8 +129,21 @@ class ChatSession:
         else:
             self.session.reset()
             self.session.append_tokens(full_ids, img_embs=embs)
-        max_new = max(1, min(300, self.session.remaining - 1))
-        dp = DecodeParams(max_new_tokens=max_new,
-                          eos_token_id=tok.eos_token_id, seed=self.pipe.cfg.seed)
-        ids = self.session.generate(dp)
+        cap = self.pipe.cfg.max_new_tokens or 300
+        if self.speculative:
+            # prompt-lookup speculative decode (decode/speculative.py):
+            # token-identical, fastest on correction/QA turns whose replies
+            # echo the conversation history; needs k+1 slots of headroom
+            max_new = max(1, min(cap,
+                                 self.session.remaining - self.spec_k - 2))
+            dp = DecodeParams(max_new_tokens=max_new,
+                              eos_token_id=tok.eos_token_id,
+                              seed=self.pipe.cfg.seed)
+            ids = self.session.generate_spec(dp, k=self.spec_k)
+        else:
+            max_new = max(1, min(cap, self.session.remaining - 1))
+            dp = DecodeParams(max_new_tokens=max_new,
+                              eos_token_id=tok.eos_token_id,
+                              seed=self.pipe.cfg.seed)
+            ids = self.session.generate(dp)
         return tok.decode(ids, skip_special_tokens=True).strip()

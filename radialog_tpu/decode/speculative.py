@@ -10,7 +10,11 @@ greedy argmax, and take the model's token at the first mismatch as a bonus.
 Every emitted token is the model's exact greedy choice given its full
 context, so the output is token-identical to plain generate() — only the
 number of forward passes changes (tests/test_speculative.py asserts the
-equality).
+equality). Identity caveat: "exact" is up to float associativity — a
+(k+1)-row matmul may tile differently from a 1-row one, so an argmax
+decided by <=1 ulp can flip. Trained-model margins dwarf ulp noise; on
+RANDOM weights (near-uniform logits) long generations can diverge — the
+same measurement caveat as tests/test_shared_prefix.py's int8 note.
 
 The drafter is PROMPT-LOOKUP (n-gram) matching: propose the continuation of
 the most recent occurrence of the last ``m`` tokens in the history

@@ -72,6 +72,17 @@ def test_chat_session_multi_turn(pipe):
     assert len(session.conv.messages) == 0
 
 
+def test_chat_session_speculative_matches_plain(pipe):
+    """--spec chat replies must be token-identical to the plain session
+    (speculation only changes forward-pass count, decode/speculative.py)."""
+    plain = ChatSession(pipe, gen_report=True, cache_len=512)
+    spec = ChatSession(pipe, gen_report=True, cache_len=512,
+                       speculative=True, spec_k=4)
+    q1, q2 = "Hello, what can you do?", "Is there any pneumonia?"
+    assert spec.ask(q1) == plain.ask(q1)
+    assert spec.ask(q2) == plain.ask(q2)
+
+
 def test_pipeline_kv_int8_serving():
     """quantize + explicit kv_int8 drives the token-flat int8 cache path
     end to end through the apps layer (XLA fallback on CPU)."""
