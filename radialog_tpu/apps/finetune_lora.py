@@ -61,6 +61,12 @@ class FinetuneConfig:
     mesh_model: int = 1
     seed: int = 42
     max_steps: Optional[int] = None        # cap for smoke runs
+    # int8 frozen base (QLoRA-style): the reference's
+    # prepare_model_for_int8_training analog (finetune.py:309) — fits
+    # Vicuna-7B LoRA training on ONE 16GB chip (6.9GB int8 base vs 13.5GB
+    # bf16). Gradients reach only LoRA + img_proj; the dequant matmul
+    # (ops/quant.py linear_q8) is differentiable w.r.t. activations.
+    quantize_base: bool = False
 
 
 def _load_records(path: str) -> List[Dict]:
@@ -113,6 +119,10 @@ def train(cfg: FinetuneConfig,
                                         img_token_id=llama_cfg.img_token_id)
         base = llama_init(jax.random.PRNGKey(0), llama_cfg)
         policy = FP32
+        if cfg.quantize_base:
+            from ..ops.quant import quantize_llama
+            base = quantize_llama(base)
+            policy = BF16   # dequant matmuls compute bf16, like the real run
     else:
         from ..data.tokenization import load_vicuna_tokenizer
         from .pipeline import RaDialogPipeline, _load_hf_state_dict
@@ -120,9 +130,15 @@ def train(cfg: FinetuneConfig,
         llama_cfg = VICUNA_7B
         tokenizer = load_vicuna_tokenizer(cfg.base_model)
         sd = _load_hf_state_dict(cfg.base_model)
-        base = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, jnp.bfloat16),
-            convert_llama(sd, llama_cfg.num_layers))
+        converted = convert_llama(sd, llama_cfg.num_layers)
+        if cfg.quantize_base:
+            # host-side quantize + leaf-streamed device_put: the bf16 copy
+            # never lives on the chip (13.5GB would OOM a 16GB v5e)
+            from ..ops.quant import quantize_llama_np
+            base = quantize_llama_np(converted)
+        else:
+            base = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), converted)
         policy = BF16
 
     lora = lora_init(jax.random.PRNGKey(cfg.seed), llama_cfg, rank=cfg.lora_r,

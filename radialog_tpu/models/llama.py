@@ -296,7 +296,8 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      lengths: Optional[jax.Array] = None,
                      slot_info=None,
                      shared_layer=None,
-                     verify: bool = False):
+                     verify: bool = False,
+                     flash: bool = True):
     """One layer's attention. cache_layer: (B,S,H,D) k/v for this layer, or
     None at prefill (fresh K/V are returned for bulk cache install);
     direct_cache: (ck_full, cv_full, static layer idx) for the unrolled
@@ -451,7 +452,7 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
         k_all = jnp.repeat(k_all, rep, axis=2)
         v_all = jnp.repeat(v_all, rep, axis=2)
 
-    if _use_flash(cache_layer, direct_cache, lengths, t):
+    if flash and _use_flash(cache_layer, direct_cache, lengths, t):
         from ..ops.flash_attention import flash_attention
         o = flash_attention(q, k_all, v_all, lengths,
                             causal=True).reshape(b, t, nh * hd)
@@ -559,7 +560,11 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
 
 def _use_flash(cache_layer, direct_cache, lengths, t: int) -> bool:
     """Pallas flash attention on TPU for long prefill/training sequences; the
-    XLA path stays for decode (KV streaming), short sequences, and CPU."""
+    XLA path stays for decode (KV streaming), short sequences, and CPU.
+
+    NOT under differentiation: the kernel has no JVP/VJP rule, so training
+    forwards must pass llama_apply(flash=False) (train/steps.py does) —
+    jax.grad through a pallas_call raises NotImplementedError."""
     return (cache_layer is None and direct_cache is None
             and lengths is not None and t >= 256
             and jax.default_backend() in ("tpu", "axon"))
@@ -595,7 +600,8 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 last_pos: Optional[jax.Array] = None,
                 shared_kv: Optional[KVCache] = None,
                 shared_p0: Optional[jax.Array] = None,
-                verify: bool = False):
+                verify: bool = False,
+                flash: bool = True):
     """Core transformer. Returns (logits, new_cache).
     verify: static — speculative-decoding verification step
     (decode/speculative.py): a t>1 query block that attends the FULL cache
@@ -672,7 +678,7 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
                 None, write_pos, policy, direct_cache=direct,
                 lengths=lengths, slot_info=slot_info,
-                shared_layer=shared_layer, verify=verify)
+                shared_layer=shared_layer, verify=verify, flash=flash)
             if cache is not None:
                 cur_cache = cache_out
             else:
@@ -707,7 +713,7 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                            jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False))
             attn_out, (nk, nv) = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
-                layer_cache, write_pos, policy)
+                layer_cache, write_pos, policy, flash=flash)
             ck = jax.lax.dynamic_update_index_in_dim(ck, nk, i, 0)
             cv = jax.lax.dynamic_update_index_in_dim(cv, nv, i, 0)
             x = x + _psum_if(attn_out, axis_name)
@@ -727,7 +733,7 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             h = rmsnorm(lp["input_ln"], x, cfg.rms_eps)
             attn_out, new_cache_layer = _attention_block(
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
-                None, write_pos, policy, lengths=lengths)
+                None, write_pos, policy, lengths=lengths, flash=flash)
             x = x + _psum_if(attn_out, axis_name)
             h = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
             x = x + _psum_if(_mlp(lp, h, policy), axis_name)

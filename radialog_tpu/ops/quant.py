@@ -68,6 +68,48 @@ def quantize_llama(params: Dict, quantize_embed: bool = True) -> Dict:
     return out
 
 
+def quantize_llama_np(params: Dict, device=None,
+                      quantize_embed: bool = True) -> Dict:
+    """Host-side (numpy) quantize_llama into the STACKED training layout.
+
+    The QLoRA-style single-chip finetune base (apps/finetune_lora.py
+    quantize_base): projection leaves become {"w_q" int8, "scale" f32},
+    streamed to ``device`` leaf by leaf so the bf16 float copy (13.5GB for
+    Vicuna-7B) never exists on the chip — the reference needs bitsandbytes
+    int8 for the same single-GPU fit (finetune.py:309
+    prepare_model_for_int8_training). Gradients flow through linear_q8's
+    dequant matmul w.r.t. activations only (the int8 base is frozen; LoRA +
+    img_proj train), so no straight-through estimator is needed."""
+    import numpy as np
+
+    def put(x, dtype=None):
+        x = np.asarray(x)
+        arr = jnp.asarray(x, dtype) if dtype else jnp.asarray(x)
+        return jax.device_put(arr, device) if device is not None else arr
+
+    def put_q(w) -> Dict[str, jax.Array]:
+        q = quantize_weight_np(w)
+        return {"w_q": put(q["w_q"]), "scale": put(q["scale"])}
+
+    src = params["layers"]
+    layers = {name: put_q(src[name]["w"]) for name in _QUANT_TARGETS}
+    layers["input_ln"] = put(src["input_ln"], jnp.float32)
+    layers["post_ln"] = put(src["post_ln"], jnp.float32)
+    out = {
+        "layers": layers,
+        "final_ln": put(params["final_ln"], jnp.float32),
+    }
+    if quantize_embed:
+        out["lm_head"] = put_q(params["lm_head"]["w"])
+        out["embed"] = put(params["embed"], jnp.bfloat16)
+    else:
+        out["lm_head"] = {"w": put(params["lm_head"]["w"])}
+        out["embed"] = put(params["embed"])
+    if "img_proj" in params:
+        out["img_proj"] = {k: put(v) for k, v in params["img_proj"].items()}
+    return out
+
+
 def is_quantized(p: Any) -> bool:
     return isinstance(p, dict) and "w_q" in p
 

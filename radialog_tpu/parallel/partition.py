@@ -27,19 +27,50 @@ from ..core.mesh import DATA_AXIS, MODEL_AXIS
 
 def llama_partition_specs(params: Dict) -> Dict:
     """PartitionSpec pytree matching `llama_init`'s tree (layer params are
-    stacked with a leading num_layers axis, which stays unsharded)."""
-    col = {"w": P(None, None, MODEL_AXIS)}
-    row = {"w": P(None, MODEL_AXIS, None)}
-    return {
+    stacked with a leading num_layers axis, which stays unsharded).
+
+    Also covers the int8-quantized stacked training base
+    (ops/quant.py quantize_llama / quantize_llama_np — the finetune
+    quantize_base path): {"w_q","scale"} leaves shard like their float
+    counterparts, with the per-output-channel scale following the output
+    dim (column-sharded projections split N, so the scale splits with it;
+    row-sharded projections split K, scale replicated)."""
+
+    def proj(leaf: Dict, col: bool) -> Dict:
+        if "w_q" in leaf:
+            wq = leaf["w_q"]
+            stacked = wq.ndim == 3 if hasattr(wq, "ndim") else True
+            lead = (None,) if stacked else ()
+            if col:
+                return {"w_q": P(*lead, None, MODEL_AXIS),
+                        "scale": P(*lead, MODEL_AXIS)}
+            return {"w_q": P(*lead, MODEL_AXIS, None),
+                    "scale": P(*lead, None)}
+        if col:
+            return {"w": P(None, None, MODEL_AXIS)}
+        return {"w": P(None, MODEL_AXIS, None)}
+
+    lyr = params["layers"]
+    specs = {
         "embed": P(MODEL_AXIS, None),
         "layers": {
-            "wq": col, "wk": col, "wv": col, "wo": row,
-            "gate": col, "up": col, "down": row,
+            "wq": proj(lyr["wq"], True), "wk": proj(lyr["wk"], True),
+            "wv": proj(lyr["wv"], True), "wo": proj(lyr["wo"], False),
+            "gate": proj(lyr["gate"], True), "up": proj(lyr["up"], True),
+            "down": proj(lyr["down"], False),
             "input_ln": P(), "post_ln": P(),
         },
         "final_ln": P(),
-        "lm_head": {"w": P(None, MODEL_AXIS)},
     }
+    head = params["lm_head"]
+    if "w_q" in head:
+        specs["lm_head"] = {"w_q": P(None, MODEL_AXIS), "scale": P(MODEL_AXIS)}
+    else:
+        specs["lm_head"] = {"w": P(None, MODEL_AXIS)}
+    if "img_proj" in params:
+        specs["img_proj"] = jax.tree_util.tree_map(lambda _: P(),
+                                                   params["img_proj"])
+    return specs
 
 
 def lora_partition_specs(lora: Dict) -> Dict:

@@ -61,10 +61,13 @@ def lora_loss_fn(lora: Dict, base_params: Dict, cfg: LlamaConfig,
     bias = prefill_bias(lengths, t)
     img_embs = batch.get("img_embs")
     img_start = find_img_start(tokens, cfg.img_token_id) if img_embs is not None else None
+    # flash=False: the Pallas flash-attention kernel has no VJP — training
+    # forwards take the XLA attention path (remat keeps the score tensors
+    # out of the live set); models/llama.py _use_flash
     logits, _ = llama_apply(base_params, cfg, tokens, positions, bias,
                             img_embs=img_embs, img_start=img_start,
                             lora=lora, policy=policy, remat=remat,
-                            lengths=lengths)
+                            lengths=lengths, flash=False)
     return masked_ce(logits, labels)
 
 
