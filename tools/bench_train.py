@@ -77,12 +77,74 @@ def build_q8_train_base(cfg):
     }
 
 
+def bench_stage1(args) -> None:
+    """Q-Former stage-1 (ITC + hard-neg ITM + LM) over RAW 448^2 images with
+    the frozen BioViL-T ResNet-50 inside the jitted step — the
+    pretraining/train.py hot loop at the reference's batch
+    (blip2_pretrain_stage1.yaml:39-48: batch 32/64)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from radialog_tpu.models.blip2 import Blip2Config, blip2_init
+    from radialog_tpu.ops.layers import BF16
+    from radialog_tpu.train.steps import TrainState, make_stage1_raw_train_step
+
+    cfg = Blip2Config()
+    params, state_v = blip2_init(jax.random.PRNGKey(0), cfg, with_vision=True)
+    visual_params = params.pop("visual")
+    visual_state = state_v["visual"]
+    tx = optax.adamw(1e-4)
+    step_fn = jax.jit(make_stage1_raw_train_step(tx, cfg, policy=BF16),
+                      donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    t = 128
+    for mb in args.micro:
+        images = jnp.asarray(rng.random((mb, 448, 448, 3)), jnp.float32)
+        ids = rng.integers(106, 30000, (mb, t)).astype(np.int32)
+        ids[:, 0] = 101   # [CLS]
+        batch = {"images": images, "text_ids": jnp.asarray(ids),
+                 "text_mask": jnp.ones((mb, t), jnp.int32)}
+        try:
+            st = TrainState.create(
+                jax.tree_util.tree_map(jnp.array, params), tx)
+            key = jax.random.PRNGKey(0)
+            st, m = step_fn(st, visual_params, visual_state, batch, key)
+            np.asarray(m["loss"])
+            best = float("inf")
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                st, m = step_fn(st, visual_params, visual_state, batch, key)
+                np.asarray(m["loss"])
+                best = min(best, time.perf_counter() - t0)
+            print(json.dumps({
+                "mode": "stage1", "batch": mb,
+                "ms_per_step": round(1e3 * best, 1),
+                "images_per_sec": round(mb / best, 1),
+                "loss": round(float(m["loss"]), 4),
+                "loss_itc": round(float(m["loss_itc"]), 4),
+                "loss_itm": round(float(m["loss_itm"]), 4),
+                "loss_lm": round(float(m["loss_lm"]), 4)}))
+        except Exception as e:
+            print(json.dumps({"mode": "stage1", "batch": mb,
+                              "error": type(e).__name__,
+                              "detail": str(e)[:200]}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cutoff", type=int, default=600)  # README.md:105 (RG)
     ap.add_argument("--micro", type=int, nargs="+", default=[2, 4, 8])
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--stage1", action="store_true",
+                    help="bench the Q-Former stage-1 raw-image step instead "
+                         "of the LoRA step (--micro then means batch; the "
+                         "reference trains at 32/64)")
     args = ap.parse_args()
+    if args.stage1:
+        bench_stage1(args)
+        return
 
     import jax
     import jax.numpy as jnp
