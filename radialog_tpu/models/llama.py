@@ -562,9 +562,11 @@ def _use_flash(cache_layer, direct_cache, lengths, t: int) -> bool:
     """Pallas flash attention on TPU for long prefill/training sequences; the
     XLA path stays for decode (KV streaming), short sequences, and CPU.
 
-    NOT under differentiation: the kernel has no JVP/VJP rule, so training
-    forwards must pass llama_apply(flash=False) (train/steps.py does) —
-    jax.grad through a pallas_call raises NotImplementedError."""
+    Differentiable: ops/flash_attention.py carries a custom FA2-style VJP,
+    so jax.grad works through it. Training still defaults to
+    llama_apply(flash=False) by MEASUREMENT (349 vs 403 ms/step at the
+    reference finetune shape — docs/PERF.md), not because grads are
+    unavailable; train/steps.py threads the choice through."""
     return (cache_layer is None and direct_cache is None
             and lengths is not None and t >= 256
             and jax.default_backend() in ("tpu", "axon"))

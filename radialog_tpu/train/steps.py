@@ -49,7 +49,8 @@ def masked_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 def lora_loss_fn(lora: Dict, base_params: Dict, cfg: LlamaConfig,
                  batch: Dict[str, jax.Array],
-                 policy: DTypePolicy = FP32, remat: bool = False) -> jax.Array:
+                 policy: DTypePolicy = FP32, remat: bool = False,
+                 flash: bool = False) -> jax.Array:
     """Full-sequence forward with <IMG> splice + masked CE.
 
     batch: tokens (B,T) right-padded, labels (B,T) with -100 on prompt/pad,
@@ -61,26 +62,30 @@ def lora_loss_fn(lora: Dict, base_params: Dict, cfg: LlamaConfig,
     bias = prefill_bias(lengths, t)
     img_embs = batch.get("img_embs")
     img_start = find_img_start(tokens, cfg.img_token_id) if img_embs is not None else None
-    # flash=False: the Pallas flash-attention kernel has no VJP — training
-    # forwards take the XLA attention path (remat keeps the score tensors
-    # out of the live set); models/llama.py _use_flash
+    # flash: the Pallas flash-attention kernel has a custom FA2-style VJP
+    # (ops/flash_attention.py), so training CAN route through it. Default
+    # False by measurement, not necessity: at the reference shape (micro 2,
+    # cutoff 600) XLA attention + remat runs 349 ms/step vs flash's 403
+    # (docs/PERF.md) — the MXU-bound step prefers XLA's fused backward at
+    # these short sequences. bench_train.py --flash re-measures.
     logits, _ = llama_apply(base_params, cfg, tokens, positions, bias,
                             img_embs=img_embs, img_start=img_start,
                             lora=lora, policy=policy, remat=remat,
-                            lengths=lengths, flash=False)
+                            lengths=lengths, flash=flash)
     return masked_ce(logits, labels)
 
 
 def make_lora_train_step(tx: optax.GradientTransformation, cfg: LlamaConfig,
-                         policy: DTypePolicy = FP32, remat: bool = True
-                         ) -> Callable:
+                         policy: DTypePolicy = FP32, remat: bool = True,
+                         flash: bool = False) -> Callable:
     """Returns step(state, base_params, batch) -> (state, metrics). Only the
     LoRA tree (adapters + img_proj, finetune.py:309-323) receives gradients;
-    the 7B base stays frozen."""
+    the 7B base stays frozen. flash routes attention through the Pallas
+    kernel + its custom VJP (ops/flash_attention.py)."""
 
     def step(state: TrainState, base_params: Dict, batch: Dict) -> Tuple[TrainState, Dict]:
         loss, grads = jax.value_and_grad(lora_loss_fn)(
-            state.params, base_params, cfg, batch, policy, remat)
+            state.params, base_params, cfg, batch, policy, remat, flash)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)

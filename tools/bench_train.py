@@ -137,6 +137,8 @@ def main() -> None:
     ap.add_argument("--cutoff", type=int, default=600)  # README.md:105 (RG)
     ap.add_argument("--micro", type=int, nargs="+", default=[2, 4, 8])
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--flash", action="store_true",
+                    help="route training attention through the Pallas flash kernel + its custom VJP")
     ap.add_argument("--stage1", action="store_true",
                     help="bench the Q-Former stage-1 raw-image step instead "
                          "of the LoRA step (--micro then means batch; the "
@@ -163,7 +165,8 @@ def main() -> None:
     jax.block_until_ready(jax.tree_util.tree_leaves(base))
     lora = lora_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
-    step_fn = jax.jit(make_lora_train_step(tx, cfg, policy=BF16, remat=True),
+    step_fn = jax.jit(make_lora_train_step(tx, cfg, policy=BF16, remat=True,
+                                       flash=args.flash),
                       donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
