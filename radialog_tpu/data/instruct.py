@@ -13,8 +13,9 @@ data/instruct_tasks.py:88-360. Task families:
 
 The teacher is injected as a ``generate_fn(prompts) -> answers`` callable
 (the reference hardcodes Vicuna-13B, create_data.py:305); prompt banks are
-data — built-in paraphrase sets below, overridable by CSVs with an
-``instruction`` column (data/instruct_prompts/*.csv layout).
+data — the built-ins below are the reference's data/instruct_prompts/*.csv
+contents verbatim (typos included), overridable by CSVs with an
+``instruction`` column (the same layout).
 """
 from __future__ import annotations
 
@@ -27,52 +28,102 @@ import numpy as np
 from .conversation import Conversation, RADIALOG_SYSTEM
 
 # ---------------------------------------------------------------- prompt banks
+# Verbatim contents of /root/reference/data/instruct_prompts/*.csv (data
+# contract: the released LoRA was trained on instruct data drawn from exactly
+# these strings, so paraphrasing them shifts the training prompt
+# distribution). Typos are the reference's own and deliberately preserved:
+# "they patient" (CO_both), "List all the finding" (CPaQA), "mediatinum" /
+# "okey" (RQA), "summery" (SU), and the U+2019 apostrophe in CO_add.
+# tests/test_instruct_parity.py pins each bank against the CSVs.
 DEFAULT_PROMPTS: Dict[str, List[str]] = {
     "EL": [
         "Explain this report in very easy terms, such that a child would understand.",
-        "Rewrite the report in plain, simple language for a patient.",
-        "Put this report into easy words without medical jargon.",
-        "Describe what this report says in simple everyday language.",
+        "Given this chest xray report, formulate it in easy language.",
+        "Reformulate this report in simple and understandable language.",
+        "Given this xray report, please rewrite it in easy language for a patient without medical expertise.",
+        "Give me a simple version of this report not requiring expert knowledge to understand.",
+        "Please reformulate this chest x-ray report using simple terms, such that a patient can understand it easily.",
+        "Please rewrite this report in simple language.",
+        "Please reformulate this report in very easy language.",
+        "Please write a simple version of this report for a child to understand.",
+        "Translate this report to easy language for a patient to understand.",
     ],
     "SU": [
-        "Summarize this report in one or two sentences.",
-        "Give a short summary of the key findings.",
-        "Condense the report to its essential findings.",
-        "Provide a brief summary of this radiology report.",
+        "Summarize this report with bullet points.",
+        "Provide a short summary of the most important points in this chest x-ray report.",
+        "Write a short summary of this report, please.",
+        "Please summarize this report in one sentence.",
+        "Please provide a concise summarization of the findings in this report.",
+        "Please summarize the given report in maximum two sentences.",
+        "Write a concise summery of the major findings in this chest xray report.",
+        "Give me a summary of this report as a bulletpoint list.",
+        "Write a bulleted list summarizing this x-ray report.",
     ],
     "RQA": [
-        "Answer a question about the report: What are the main abnormalities?",
-        "Based on the report, what stands out clinically?",
-        "What is the most important finding described in the report?",
-        "Which parts of the report would a clinician act on?",
+        "Is the patient's heart healthy?",
+        "Does the patient have any abnormalities in the osseous structures?",
+        "Are there any abnormalities in the lungs?",
+        "Are the patient's lungs healthy?",
+        "Are there any problems in the bones?",
+        "Are there any abnormalities in the mediatinum?",
+        "Does the patient have any heart-related issues?",
+        "Are there any pulmonary abnormalities described in the report?",
+        "Is the heart of this patient healthy?",
+        "Is everything okey with the patient's lung?",
     ],
     "CPbQA": [
+        "Is there evidence of <X> in the report?",
         "Is there any <X>?",
+        "Is any <X> evident in the report?",
+        "Is there any indication of <X> in the report?",
+        "Does the report mention <X>?",
         "Does the patient have <X>?",
-        "Can you see <X> in the report?",
-        "Is <X> present?",
+        "Is there any sign of <X> in the report?",
     ],
     "CPaQA": [
-        "List all the findings in this report.",
-        "Name every finding mentioned in the report.",
-        "Which findings does this report contain?",
+        "List all the finding in this report.",
+        "Enumerate the observations from the report.",
+        "What findings can be identified from this report?",
+        "Detail the key conclusions from this report.",
+        "What are the key observations derived from this report?",
+        "Enumerate the findings mentioned in the report.",
+        "Detail the observations noted in this report.",
+        "List all the findings.",
+        "Please enumerate the major positive observations described in the report.",
+        "Provide the findings highlighted in the report.",
     ],
     "CO_both": [
-        "Please adapt the report: include <add> and remove <rem>.",
-        "Correct the report by mentioning <add> and dropping <rem>.",
+        "I disagree with the generated report, I think the patient has <add> but does not have <rem>. Please adapt the report.",
+        "You forgot to mention <add>. Also, they patient does not have <rem>, please remove this.",
+        "Please adapt the report with the following corrections: Include <add> and remove <rem>.",
     ],
     "CO_add": [
         "The patient also has <add>, correct the report.",
-        "Please include <add> in the report.",
+        "You forgot to mention <add>. Please update the report.",
+        "Please provide an adapted report. Mention <add>. Don’t make any other changes.",
+        "I think the patient has some <add>. Please add this to the report.",
+        "There is <add>, which you have missed. Please rewrite the report.",
+        "I think you missed <add>, please provide a corrected report.",
     ],
     "CO_rem": [
+        "You mentioned <rem>, but I don't think this is the case. Correct the report.",
+        "There is no <rem>, please adapt the report accordingly.",
         "The patient does not have <rem>. Update the report.",
-        "Please remove <rem> from the report.",
+        "Write a corrected report, where you don't mention <rem>.",
+        "I disagree with your report, I think there is no <rem>, correct this.",
     ],
     "RE": [
+        "What are the indicators for <X> in the report?",
         "Why do you think the patient has <X>?",
-        "Explain the evidence for <X> in this report.",
-        "What in the image suggests <X>?",
+        "What are the symptoms of this patient for <X>?",
+        "Which symptoms led to the diagnosis of <X>?",
+        "What in the report is indicative of <X>?",
+        "Can you explain why you think the patient has <X>?",
+        "Given the report, what led to the conclusion that the patient has <X>?",
+        "What are the reasons for the diagnosis of <X>?",
+        "Which signs show that the patient has <X>?",
+        "What explanations for the diagnosis of <X> does the report give?",
+        "Can you explain the diagnosis of <X>? What are the reasons?",
     ],
 }
 
