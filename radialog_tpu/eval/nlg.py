@@ -5,10 +5,19 @@ Replaces pycocoevalcap (MIMICEvalCap, ReportDataset.py:384-452):
     tiny/small smoothing and closest-reference brevity penalty of the MS-COCO
     BleuScorer (same published algorithm, reimplemented).
   * ROUGE-L: mean per-segment LCS F-measure with beta=1.2 (MS-COCO Rouge).
-  * METEOR: nltk's meteor_score (exact/stem/wordnet-synonym stages,
-    alpha=.9 beta=3 gamma=.5 — the METEOR 1.0 defaults). The reference uses
-    the METEOR 1.5 Java jar which adds paraphrase tables; scores track
-    closely but are not bit-identical. Documented deviation: no Java.
+  * METEOR: exact + Porter-stem + synonym alignment stages with
+    alpha=.9 beta=3 gamma=.5 (the Lavie-Agarwal 2007 defaults nltk also
+    uses). The alignment semantics are bit-identical to nltk's
+    meteor_score given the same synonym data — pinned by
+    tests/test_nlg.py::test_meteor_matches_nltk_implementation, which
+    injects our synonym table into nltk as a wordnet substitute. The
+    synonym stage uses a vendored radiology-focused table
+    (METEOR_SYNONYMS below) because the full WordNet corpus data is not
+    available offline; the reference's METEOR 1.5 Java jar
+    (ReportDataset.py:396) additionally has full WordNet + paraphrase
+    tables, so absolute METEOR values deviate by the synonym coverage
+    difference (sensitivity quantified in docs/PERF.md). BLEU/ROUGE-L/
+    CheXbert-F1 — the clinically load-bearing metrics — are unaffected.
   * Tokenization: the reference runs nltk word_tokenize then lowercases
     (ReportDataset.py:427-431). word_tokenize = punkt sentence split +
     TreebankWordTokenizer; punkt needs a data download (unavailable
@@ -21,7 +30,7 @@ from __future__ import annotations
 import math
 import re
 from collections import Counter
-from typing import Dict, Iterable, List, NamedTuple, Sequence
+from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence
 
 from nltk.tokenize.treebank import TreebankWordTokenizer
 
@@ -113,29 +122,80 @@ def rouge_l_corpus(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
     return sum(scores) / max(len(scores), 1)
 
 
-def meteor_corpus(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]]) -> float:
-    """Mean per-segment METEOR (exact + Porter-stem stages, no data files)."""
-    scores = [_meteor_segment(gts[key], hyp) for key, hyp in res.items()]
+# Vendored synonym table for METEOR's third alignment stage: symmetric
+# groups (every word in a group is a synonym of every other). A deliberately
+# minimal, radiology-focused subset of WordNet-style synonymy — the full
+# WordNet corpus data is unavailable offline, and the METEOR-1.5 jar the
+# reference calls additionally carries paraphrase tables. Curated for terms
+# that genuinely alternate in MIMIC-CXR findings text; extend via the
+# `synonyms=` argument of meteor_corpus. Multi-word lemmas are excluded by
+# construction (METEOR drops them: lemma names containing '_').
+METEOR_SYNONYM_GROUPS: List[List[str]] = [
+    ["edema", "oedema"],
+    ["opacity", "opaqueness", "opacification"],
+    ["x-ray", "xray", "radiograph", "film"],
+    ["heart", "cardiac"],
+    ["lung", "pulmonary"],
+    ["chest", "thorax", "thoracic"],
+    ["normal", "unremarkable"],
+    ["stable", "unchanged"],
+    ["seen", "visualized", "observed", "noted", "identified", "demonstrated"],
+    ["small", "little"],
+    ["large", "big"],
+    ["mild", "slight"],
+    ["severe", "marked"],
+    ["effusion", "fluid"],
+    ["fracture", "break"],
+    ["catheter", "line"],
+    ["vasculature", "vascularity"],
+    ["enlargement", "enlarged", "cardiomegaly"],
+]
+
+
+def _build_synonyms(groups: Iterable[Iterable[str]]) -> Dict[str, frozenset]:
+    """Symmetric word -> synonym-set lookup. Each group is closed under
+    Porter stemming because the synonym stage (like nltk meteor_score's)
+    sees the STEMMED leftovers of the stem stage — surface-only entries
+    would never fire."""
+    from nltk.stem.porter import PorterStemmer
+    stem = PorterStemmer().stem
+    table: Dict[str, set] = {}
+    for group in groups:
+        g = set(group) | {stem(w) for w in group}
+        for w in g:
+            table.setdefault(w, set()).update(g)
+    return {w: frozenset(s) for w, s in table.items()}
+
+
+METEOR_SYNONYMS: Dict[str, frozenset] = _build_synonyms(METEOR_SYNONYM_GROUPS)
+
+
+def meteor_corpus(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
+                  synonyms: Optional[Dict[str, frozenset]] = None) -> float:
+    """Mean per-segment METEOR (exact + Porter-stem + synonym stages)."""
+    if synonyms is None:
+        synonyms = METEOR_SYNONYMS
+    scores = [_meteor_segment(gts[key], hyp, synonyms=synonyms)
+              for key, hyp in res.items()]
     return sum(scores) / max(len(scores), 1)
 
 
 def _meteor_segment(refs: List[List[str]], hyp: List[str],
                     alpha: float = 0.9, beta: float = 3.0,
-                    gamma: float = 0.5) -> float:
-    """METEOR for one segment, max over references.
-
-    Standard published algorithm (Banerjee & Lavie 2005 with the 1.0
-    defaults nltk also uses): greedy sequential alignment by exact match,
-    then by Porter stem on the leftovers; F_mean = PR/(αP+(1-α)R);
-    fragmentation penalty γ·(chunks/matches)^β.
-    """
+                    gamma: float = 0.5,
+                    synonyms: Optional[Dict[str, frozenset]] = None) -> float:
+    """METEOR for one segment, max over references (Lavie-Agarwal 2007,
+    the defaults nltk uses): F_mean = PR/(αP+(1-α)R), fragmentation penalty
+    γ·(chunks/matches)^β, zero on no matches."""
     from nltk.stem.porter import PorterStemmer
     stemmer = PorterStemmer()
+    if synonyms is None:
+        synonyms = METEOR_SYNONYMS
     best = 0.0
     for ref in refs:
         if not hyp or not ref:
             continue
-        align = _align(hyp, ref, stemmer)
+        align = _align(hyp, ref, stemmer, synonyms)
         m = len(align)
         if m == 0:
             continue
@@ -147,24 +207,56 @@ def _meteor_segment(refs: List[List[str]], hyp: List[str],
     return best
 
 
-def _align(hyp: Sequence[str], ref: Sequence[str], stemmer) -> List[tuple]:
-    """Greedy (hyp_idx, ref_idx) alignment: exact stage then stem stage."""
-    used_h: set = set()
-    used_r: set = set()
+def _match_stage(hyp_items: List[tuple], ref_items: List[tuple],
+                 syn_fn=None) -> tuple:
+    """One alignment stage with nltk meteor_score's tie-breaking: scan the
+    hypothesis back-to-front and pair each word with the LATEST still-unused
+    reference position that matches (surface equality, or membership in the
+    hypothesis word's synonym set when syn_fn is given). Items are
+    (original_index, key) pairs; returns (matches, leftover_hyp,
+    leftover_ref) exactly like nltk's _match_enums/_enum_wordnetsyn_match."""
+    ref_positions: Dict[str, List[int]] = {}
+    for j, (_, rk) in enumerate(ref_items):
+        ref_positions.setdefault(rk, []).append(j)
+    matched_h: set = set()
+    matched_r: set = set()
     pairs: List[tuple] = []
-    for key_fn in (lambda t: t, stemmer.stem):
-        ref_keys = [key_fn(t) for t in ref]
-        for i, t in enumerate(hyp):
-            if i in used_h:
-                continue
-            k = key_fn(t)
-            for j, rk in enumerate(ref_keys):
-                if j not in used_r and rk == k:
-                    used_h.add(i)
-                    used_r.add(j)
-                    pairs.append((i, j))
-                    break
-    return pairs
+    for i in range(len(hyp_items) - 1, -1, -1):
+        word = hyp_items[i][1]
+        keys = syn_fn(word) if syn_fn is not None else (word,)
+        best_j, best_key = -1, None
+        for k in keys:
+            positions = ref_positions.get(k)
+            if positions and positions[-1] > best_j:
+                best_j, best_key = positions[-1], k
+        if best_key is not None:
+            ref_positions[best_key].pop()
+            matched_h.add(i)
+            matched_r.add(best_j)
+            pairs.append((hyp_items[i][0], ref_items[best_j][0]))
+    hyp_left = [it for i, it in enumerate(hyp_items) if i not in matched_h]
+    ref_left = [it for j, it in enumerate(ref_items) if j not in matched_r]
+    return pairs, hyp_left, ref_left
+
+
+def _align(hyp: Sequence[str], ref: Sequence[str], stemmer,
+           synonyms: Dict[str, frozenset]) -> List[tuple]:
+    """(hyp_idx, ref_idx) alignment: exact, then Porter stem on the
+    leftovers, then synonym match on the remaining leftovers — bit-identical
+    to nltk _enum_align_words given the same synonym data."""
+    hyp_items = list(enumerate(hyp))
+    ref_items = list(enumerate(ref))
+    exact, hyp_items, ref_items = _match_stage(hyp_items, ref_items)
+    stem, hyp_left, ref_left = _match_stage(
+        [(i, stemmer.stem(w)) for i, w in hyp_items],
+        [(j, stemmer.stem(w)) for j, w in ref_items])
+    # the synonym stage sees the STEMMED leftovers — nltk passes
+    # _enum_stem_match's leftover lists (stemmed keys) straight into
+    # _enum_wordnetsyn_match; METEOR_SYNONYMS groups are stem-closed so the
+    # lookup still fires
+    syn_fn = lambda w: synonyms.get(w, frozenset((w,))) | {w}
+    syn, _, _ = _match_stage(hyp_left, ref_left, syn_fn=syn_fn)
+    return exact + stem + syn
 
 
 def _chunk_count(align_sorted: List[tuple]) -> int:

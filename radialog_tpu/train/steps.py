@@ -6,7 +6,10 @@ Lightning in findings_classifier): a pure step function under jit over the
 device mesh. Data parallelism comes from batch sharding; the global-batch
 contrastive loss the reference left commented out (blip2_qformer.py:134-280,
 GatherLayer) is subsumed by SPMD — the in-batch similarity matrix is computed
-over the *global* batch and XLA inserts the all_gather over ICI.
+over the *global* batch and XLA inserts the all_gather over ICI. Verified,
+not just claimed: tests/test_stage1_multichip.py pins 8-device-DP loss/grads/
+updated-params equality vs the single-device run on the same global batch,
+and __graft_entry__.dryrun_multichip executes the sharded stage-1 step.
 """
 from __future__ import annotations
 

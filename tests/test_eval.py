@@ -68,6 +68,75 @@ class TestNLG:
         res = {"a": ["the", "car", "raced"]}
         assert meteor_corpus(gts, res) > 0.8  # 'car' matches 'cars' via stem
 
+    def test_meteor_synonym_match(self):
+        # 'unremarkable' aligns to 'normal' via the vendored synonym stage
+        gts = {"a": [["the", "heart", "is", "normal"]]}
+        res = {"a": ["the", "heart", "is", "unremarkable"]}
+        without = meteor_corpus(gts, res, synonyms={})
+        with_syn = meteor_corpus(gts, res)
+        assert with_syn > without
+
+    def test_meteor_matches_nltk_implementation(self):
+        """Bit-identical to nltk's meteor_score given the same synonym data.
+
+        nltk's implementation is importable but its WordNet *data* is not
+        (offline container), so we inject METEOR_SYNONYMS as a wordnet
+        substitute implementing the exact API surface meteor_score touches
+        (synsets -> lemmas -> name, '_'-filtered). This pins our alignment
+        tie-breaking (reverse hypothesis scan, latest reference position),
+        chunk counting, and score formula to nltk's — isolating any residual
+        METEOR deviation vs the reference's Java jar to synonym/paraphrase
+        table coverage only.
+        """
+        from nltk.translate.meteor_score import single_meteor_score
+
+        from radialog_tpu.eval.nlg import (METEOR_SYNONYMS, _meteor_segment,
+                                           tokenize_report)
+
+        class _Lemma:
+            def __init__(self, n):
+                self._n = n
+
+            def name(self):
+                return self._n
+
+        class _Synset:
+            def __init__(self, words):
+                self._lemmas = [_Lemma(w) for w in words]
+
+            def lemmas(self):
+                return self._lemmas
+
+        # one synset per word carrying its full (stem-closed) synonym set —
+        # METEOR_SYNONYMS is symmetric, so this is group membership
+        class _FakeWordnet:
+            @staticmethod
+            def synsets(word):
+                syns = METEOR_SYNONYMS.get(word)
+                return [_Synset(sorted(syns))] if syns else []
+
+        cases = [
+            # (hypothesis, reference) — realistic report text incl. synonym
+            # substitutions, reorderings, drops, and degenerate overlaps
+            ("The lungs are clear. No pleural effusion or pneumothorax.",
+             "The lungs are clear. No pleural effusion or pneumothorax."),
+            ("Heart size is unremarkable. No pleural fluid.",
+             "The cardiac silhouette is normal. No pleural effusion."),
+            ("Small right effusion is seen with stable cardiomegaly.",
+             "A small right pleural effusion is noted; unchanged heart "
+             "enlargement."),
+            ("No acute osseous abnormality.",
+             "The lungs are well expanded and clear."),
+            ("edema edema edema", "there is mild pulmonary oedema"),
+            ("Right lower lobe opacity concerning for pneumonia.",
+             "Concerning pneumonia opacity in the right lower lobe."),
+        ]
+        for hyp_txt, ref_txt in cases:
+            hyp, ref = tokenize_report(hyp_txt), tokenize_report(ref_txt)
+            ours = _meteor_segment([ref], hyp)
+            theirs = single_meteor_score(ref, hyp, wordnet=_FakeWordnet())
+            assert abs(ours - theirs) < 1e-12, (hyp_txt, ours, theirs)
+
     def test_evaluate_reports_end_to_end(self):
         preds = {"d1": "The lungs are clear. No pleural effusion.",
                  "d2": "Moderate cardiomegaly is present."}
