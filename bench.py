@@ -48,6 +48,13 @@ is 8.1x at worst, 18x at best, 12.2x at the 0.40 point estimate. The
 JSON line reports the point estimate; this bracket is the honesty bound
 on it.
 
+This number is the THROUGHPUT half of the north star; the QUALITY half
+(CheXbert-F1 parity, untestable without real weights in this container)
+rests on the verified chain recorded in BASELINE.md §"Why we believe
+CheXbert-F1 parity transfers": converter parity (≤2e-4) → token-exact
+greedy decode vs the reference classes → measured 0.048σ/0.049σ quant
+budgets → metric-implementation parity.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json

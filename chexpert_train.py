@@ -34,6 +34,7 @@ def main():
     import numpy as np
 
     from radialog_tpu.core.checkpoint import BestKeeper
+    from radialog_tpu.core.mesh import init_distributed
     from radialog_tpu.models.chexpert import (NUM_CLASSES,
                                               chexpert_classifier_apply,
                                               chexpert_classifier_init)
@@ -44,6 +45,7 @@ def main():
     from radialog_tpu.train.optim import make_adamw
     from radialog_tpu.train.steps import TrainState
 
+    init_distributed()  # multi-host no-op unless RADIALOG_COORDINATOR etc.
     args = parse_args()
     if not args.mock:
         raise SystemExit("real training needs the MIMIC-CXR image tree; "

@@ -83,6 +83,41 @@ def cli_loop(session):
         print(f"ASSISTANT: {session.ask(text)}")
 
 
+def make_bot(session):
+    """The gradio `bot` handler (reference demo.py:349-366), factored out so
+    the flows are testable without gradio installed. Takes the chat history
+    (last entry = pending user message, image uploads as 1-tuples per
+    gradio's add_file convention), yields successive history states with the
+    assistant reply streaming in. On the first image upload it also appends
+    the report-generation prompt as a visible history row with the <IMG> run
+    shown as "(img_tokens)" — exactly the reference's display behavior
+    (demo.py:355-359)."""
+    from radialog_tpu.apps.chat import RG_PROMPT
+    from radialog_tpu.data.prompts import IMG_RUN
+
+    def bot(history):
+        last = history[-1][0]
+        if isinstance(last, tuple):  # image upload (add_file)
+            reply, findings = session.load_image(last[0])
+            if len(history) == 1 and session.gen_report:
+                shown = RG_PROMPT.replace(f"{IMG_RUN}.", "(img_tokens)")
+                history.append([shown.format(findings=findings), None])
+            history[-1][1] = ""
+            for ch in reply or "":
+                history[-1][1] += ch
+                yield history
+            if not reply:
+                history[-1][1] = f"(predicted findings: {findings})"
+                yield history
+            return
+        history[-1][1] = ""
+        for partial in session.ask_stream(last):
+            history[-1][1] = partial
+            yield history
+
+    return bot
+
+
 def gradio_ui(session):
     try:
         import gradio as gr
@@ -91,16 +126,41 @@ def gradio_ui(session):
               file=sys.stderr)
         return cli_loop(session)
 
-    with gr.Blocks() as ui:  # chat UI mirroring demo.py:369-400
-        chatbot = gr.Chatbot()
-        txt = gr.Textbox(placeholder="Ask about the scan, or paste an image path")
+    bot = make_bot(session)
 
-        def respond(message, history):
-            reply = session.ask(message)
-            history = history + [(message, reply)]
-            return "", history
+    def add_text(history, text):
+        history = history + [(text, None)]
+        return history, gr.update(value="", interactive=False)
 
-        txt.submit(respond, [txt, chatbot], [txt, chatbot])
+    def add_file(history, file):
+        history = history + [((file.name,), None)]
+        return history
+
+    def clear_history(_history):
+        session.reset()
+        return []
+
+    with gr.Blocks() as ui:  # chat UI mirroring reference demo.py:369-400
+        chatbot = gr.Chatbot([], elem_id="chatbot")
+        with gr.Row():
+            txt = gr.Textbox(show_label=False,
+                             placeholder="Enter text and press enter, or "
+                                         "upload an image",
+                             container=False)
+        with gr.Row():
+            btn = gr.UploadButton("📁 Upload image", file_types=["image"],
+                                  scale=1)
+            clear_btn = gr.Button("Clear History", scale=1)
+
+        clear_btn.click(clear_history, [chatbot], [chatbot])
+        txt_msg = txt.submit(add_text, [chatbot, txt], [chatbot, txt],
+                             queue=False).then(bot, chatbot, chatbot)
+        txt_msg.then(lambda: gr.update(interactive=True), None, [txt],
+                     queue=False)
+        btn.upload(add_file, [chatbot, btn], [chatbot],
+                   queue=False).then(bot, chatbot, chatbot)
+
+    ui.queue()
     ui.launch()
 
 

@@ -53,7 +53,9 @@ def _coerce(val: str, typ):
 
 def main():
     from radialog_tpu.apps.finetune_lora import FinetuneConfig, train
+    from radialog_tpu.core.mesh import init_distributed
 
+    init_distributed()  # multi-host no-op unless RADIALOG_COORDINATOR etc.
     fields = {f.name: f.type for f in dataclasses.fields(FinetuneConfig)}
     raw = _parse_kwargs(sys.argv[1:])
     import typing

@@ -43,9 +43,11 @@ def main():
                                            blip2_forward_image,
                                            blip2_stage1_losses)
     from radialog_tpu.models.qformer import TINY_QFORMER
+    from radialog_tpu.core.mesh import init_distributed
     from radialog_tpu.train.runner import (Stage1Config, Stage1Runner,
                                            precompute_embeddings)
 
+    init_distributed()  # multi-host no-op unless RADIALOG_COORDINATOR etc.
     args = parse_args()
     cfg = Config()
     if args.cfg_path:

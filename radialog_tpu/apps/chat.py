@@ -112,8 +112,46 @@ class ChatSession:
         self.conv.append_assistant(reply)
         return reply
 
-    def _generate_incremental(self, prompt: str) -> str:
+    def ask_stream(self, text: str, chunk_size: int = 16):
+        """Streaming ask(): yields the accumulated assistant reply after each
+        decoded chunk. This is the gradio bot contract (demo.py:349-366) done
+        TPU-natively — the reference generates the FULL reply first and then
+        sleeps 10ms per character; here the decode itself streams in
+        ``chunk_size``-token jitted calls against the persistent KV cache
+        (utils/streaming.stream_chunks), so the first words appear while the
+        rest is still decoding. Greedy chunked decode is token-identical to
+        the single-call decode (tests/test_apps.py pins stream == ask).
+        Image-path messages behave like ask() and yield the report once."""
+        if text.endswith((".png", ".jpg")):
+            reply, _ = self.load_image(text)
+            if reply:
+                yield reply
+            return
+        if self.session is None:
+            yield self._generate(text)
+            return
         from ..decode.engine import DecodeParams
+        from ..utils.streaming import stream_chunks
+        self.conv.append_user(text)
+        self.conv.append_assistant(None)
+        self._prefill_incremental(self.conv.get_prompt())
+        tok = self.pipe.tokenizer
+        cap = self.pipe.cfg.max_new_tokens or 300
+        cap = max(1, min(cap, self.session.remaining - 1))
+        dp = DecodeParams(max_new_tokens=cap, eos_token_id=tok.eos_token_id,
+                          seed=self.pipe.cfg.seed)
+        ids: List[int] = []
+        for chunk in stream_chunks(self.session, dp, chunk_size=chunk_size,
+                                   max_new_tokens=cap):
+            ids.extend(chunk)
+            yield tok.decode(ids, skip_special_tokens=True).strip()
+        reply = tok.decode(ids, skip_special_tokens=True).strip()
+        self.conv.messages.pop()
+        self.conv.append_assistant(reply)
+
+    def _prefill_incremental(self, prompt: str) -> None:
+        """Incremental prefill of the new prompt suffix against the session's
+        persistent KV cache (full re-prefill on prefix mismatch)."""
         import jax.numpy as jnp
         tok = self.pipe.tokenizer
         full_ids = tok(prompt)["input_ids"]
@@ -129,6 +167,11 @@ class ChatSession:
         else:
             self.session.reset()
             self.session.append_tokens(full_ids, img_embs=embs)
+
+    def _generate_incremental(self, prompt: str) -> str:
+        from ..decode.engine import DecodeParams
+        tok = self.pipe.tokenizer
+        self._prefill_incremental(prompt)
         cap = self.pipe.cfg.max_new_tokens or 300
         if self.speculative:
             # prompt-lookup speculative decode (decode/speculative.py):

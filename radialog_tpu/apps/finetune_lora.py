@@ -67,6 +67,11 @@ class FinetuneConfig:
     # bf16). Gradients reach only LoRA + img_proj; the dequant matmul
     # (ops/quant.py linear_q8) is differentiable w.r.t. activations.
     quantize_base: bool = False
+    # route attention through the Pallas flash kernel + its FA2 custom VJP
+    # (ops/flash_attention.py). Off by measurement, not necessity: XLA
+    # attention+remat 349 vs flash 403 ms/step at micro 2 / cutoff 600
+    # (docs/PERF.md; tools/bench_train.py --flash re-measures).
+    flash: bool = False
 
 
 def _load_records(path: str) -> List[Dict]:
@@ -184,10 +189,12 @@ def train(cfg: FinetuneConfig,
                                              warmup_steps=100, total_steps=total),
                         weight_decay=0.0, grad_clip=1.0, accum_steps=accum)
         state = TrainState.create(lora, tx)
-        step_fn = jax.jit(make_lora_train_step(tx, llama_cfg, policy=policy),
+        step_fn = jax.jit(make_lora_train_step(tx, llama_cfg, policy=policy,
+                                               flash=cfg.flash),
                           donate_argnums=(0,))
         from ..train.steps import lora_loss_fn
-        eval_fn = jax.jit(lambda p, b: lora_loss_fn(p, base, llama_cfg, b, policy))
+        eval_fn = jax.jit(lambda p, b: lora_loss_fn(p, base, llama_cfg, b,
+                                                    policy, flash=cfg.flash))
 
         if cfg.resume_from_checkpoint:
             tree, meta = load_checkpoint(Path(cfg.resume_from_checkpoint).parent,

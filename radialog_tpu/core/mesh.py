@@ -10,10 +10,13 @@ On TPU the equivalent is a ``jax.sharding.Mesh`` over ICI with named axes and
   * ``shard_batch``  — place a host batch onto the data axis.
   * ``host_local_batch_slice`` — per-host slice for multi-host data loading
     (replaces DistributedSampler, runner_base.py:607-616).
+  * ``init_distributed`` — multi-host (DCN) process-group init, the analog
+    of the reference's init_distributed_mode (common/dist_utils.py:57-91).
 """
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -22,6 +25,50 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+_distributed_initialized = False
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize multi-host JAX over DCN — the reference's
+    init_distributed_mode analog (common/dist_utils.py:57-91), env-driven the
+    same way (the reference reads RANK/WORLD_SIZE/MASTER_ADDR and downgrades
+    to "Not using distributed mode" when absent):
+
+      RADIALOG_COORDINATOR   host:port of process 0 (MASTER_ADDR:PORT)
+      RADIALOG_NUM_PROCESSES world size (WORLD_SIZE)
+      RADIALOG_PROCESS_ID    this host's rank (RANK)
+      RADIALOG_DISTRIBUTED=1 force jax.distributed.initialize() with no
+                             explicit args — JAX auto-detects the topology
+                             from the TPU pod / cluster metadata.
+
+    Explicit arguments override the environment. Returns True when a
+    multi-process group was initialized, False for the single-process no-op.
+    Idempotent: a second call returns the first call's outcome. Root
+    trainers call this before building a mesh so jax.devices() spans the
+    full slice and ``host_local_batch_slice`` sees the real process grid.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    env = os.environ
+    coordinator_address = coordinator_address or env.get("RADIALOG_COORDINATOR")
+    if num_processes is None and env.get("RADIALOG_NUM_PROCESSES"):
+        num_processes = int(env["RADIALOG_NUM_PROCESSES"])
+    if process_id is None and env.get("RADIALOG_PROCESS_ID"):
+        process_id = int(env["RADIALOG_PROCESS_ID"])
+    auto = env.get("RADIALOG_DISTRIBUTED") == "1"
+    if coordinator_address is None and not auto:
+        return False  # single-process: nothing to do
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return True
 
 
 @dataclasses.dataclass(frozen=True)

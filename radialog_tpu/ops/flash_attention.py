@@ -331,8 +331,6 @@ def _flash_bwd(causal, scale, bq, bk, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("causal", "scale", "bq", "bk", "interpret"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     lengths: jax.Array, causal: bool = True,
                     scale: float | None = None, bq: int = 256, bk: int = 256,
@@ -343,15 +341,30 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     attend the valid prefix (same as mha + prefill_bias; those rows are never
     read under right-padding). Differentiable in q/k/v (custom FA2-style
     backward above); the pad/transpose wrappers below autodiff normally.
+
+    Thin non-jitted wrapper: the RADIALOG_FLASH_BQ/BK env knobs (block-size
+    A/B sweeps without code edits, tools/bench_train.py --flash) are resolved
+    HERE so the values become the static args keying the jit cache — reading
+    them inside the jitted body would silently reuse an executable built with
+    a stale block size after the env changes mid-process.
     """
+    bq = int(os.environ.get("RADIALOG_FLASH_BQ", bq))
+    bk = int(os.environ.get("RADIALOG_FLASH_BK", bk))
+    return _flash_attention_jit(q, k, v, lengths, causal, scale, bq, bk,
+                                interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("causal", "scale", "bq", "bk", "interpret"))
+def _flash_attention_jit(q: jax.Array, k: jax.Array, v: jax.Array,
+                         lengths: jax.Array, causal: bool = True,
+                         scale: float | None = None, bq: int = 256,
+                         bk: int = 256, interpret: bool = False) -> jax.Array:
     b, t, h, d = q.shape
     s_len = k.shape[1]
     scale = float(scale if scale is not None else d ** -0.5)
-    # env knobs for A/B sweeps without code edits (tools/bench_train.py
-    # --flash): block size trades MXU tile size against padding waste —
-    # e.g. cutoff-600 training pads to 768 at 256 but only 640 at 128
-    bq = int(os.environ.get("RADIALOG_FLASH_BQ", bq))
-    bk = int(os.environ.get("RADIALOG_FLASH_BK", bk))
+    # block size trades MXU tile size against padding waste — e.g.
+    # cutoff-600 training pads to 768 at 256 but only 640 at 128
     bq = min(bq, t)
     bk = min(bk, s_len)
     # explicit zero padding to block multiples: implicit edge-tile padding is

@@ -72,6 +72,69 @@ def test_chat_session_multi_turn(pipe):
     assert len(session.conv.messages) == 0
 
 
+def test_chat_session_stream_matches_ask(pipe):
+    """ask_stream must yield progressive prefixes and land token-identical
+    to the plain ask() reply (greedy chunked decode == single decode)."""
+    plain = ChatSession(pipe, gen_report=True, cache_len=512)
+    stream = ChatSession(pipe, gen_report=True, cache_len=512)
+    q = "Hello, what can you do?"
+    want = plain.ask(q)
+    partials = list(stream.ask_stream(q, chunk_size=2))
+    assert partials, "stream yielded nothing"
+    assert partials[-1] == want
+    assert len(partials) > 1  # actually chunked (max_new_tokens=8, chunk 2)
+    # conversation state identical after the turn
+    assert stream.conv.messages == plain.conv.messages
+    # second streamed turn keeps working off the same prefix cache
+    # (same chunk_size — a different one would just compile another decode
+    # graph for no extra coverage)
+    q2 = "Is there any pneumonia?"
+    want2 = plain.ask(q2)
+    assert list(stream.ask_stream(q2, chunk_size=2))[-1] == want2
+
+
+def test_gradio_bot_flows(pipe, tmp_path):
+    """The gradio handlers (demo.py make_bot) without gradio installed:
+    image upload appends the visible RG prompt row with (img_tokens) and
+    streams the report; a follow-up text message streams into history."""
+    import sys
+    sys.path.insert(0, ".")
+    try:
+        from demo import make_bot
+    finally:
+        sys.path.pop(0)
+    from PIL import Image
+
+    img = (np.random.default_rng(0).integers(0, 255, (64, 64))
+           .astype(np.uint8))
+    p = tmp_path / "dcm000.jpg"
+    Image.fromarray(img).save(p, quality=95)
+
+    session = ChatSession(pipe, gen_report=True, cache_len=512)
+    bot = make_bot(session)
+
+    import copy
+
+    history = [[(str(p),), None]]  # add_file convention: 1-tuple
+    # bot mutates history in place and yields it (gradio renders each yield
+    # immediately; the reference does the same, demo.py:360-366) — snapshot
+    # every yield to observe the streaming
+    states = [copy.deepcopy(s) for s in bot(history)]
+    assert states, "image turn yielded nothing"
+    final = states[-1]
+    assert len(final) == 2  # upload row + visible RG prompt row
+    assert "(img_tokens)" in final[1][0]
+    assert "Predicted Findings:" in final[1][0]
+    assert isinstance(final[1][1], str) and final[1][1]  # streamed report
+    # streaming: earlier states carry strict prefixes of the final reply
+    assert states[0][-1][1] != final[-1][1]
+    assert final[-1][1].startswith(states[0][-1][1])
+
+    history = final + [["Is there any pneumonia?", None]]
+    states = [copy.deepcopy(s) for s in bot(history)]
+    assert states and states[-1][-1][1]
+
+
 def test_chat_session_speculative_matches_plain(pipe):
     """--spec chat replies must be token-identical to the plain session
     (speculation only changes forward-pass count, decode/speculative.py)."""

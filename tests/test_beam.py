@@ -65,6 +65,8 @@ def test_beam_eos_freezing():
         assert (got[1:] == first).all()
 
 
+@pytest.mark.slow  # ~9s; beam1==greedy already pinned fast on the stacked
+# layout by test_beam1_equals_greedy
 def test_beam1_equals_greedy_unrolled_quantized():
     """The split-cache beam's python layer loop (unrolled serving layout,
     bf16 KV) must agree with the engine's greedy decode on the same

@@ -68,6 +68,7 @@ def test_int8_kv_generate_close_to_bf16_cache():
     assert got.tokens.shape == ref.tokens.shape
 
 
+@pytest.mark.slow  # ~18s quality-budget measurement, not a contract check
 def test_int8_kv_teacher_forced_logit_error_bounded():
     """The quality gate behind int8-KV being the quantized-serving DEFAULT
     (apps/pipeline.py use_kv_int8): decode both cache dtypes over the SAME

@@ -29,6 +29,8 @@ def _serial(prompt_ids, max_new):
     return [int(x) for x in np.asarray(out.tokens)[0, :n]]
 
 
+@pytest.mark.slow  # ~16s; staggered==serial equality also covered fast by
+# test_continuous.py (both batcher flavors)
 def test_concurrent_clients_match_serial():
     """5 client threads over 2 lanes: every result matches the solo engine,
     and the server drains cleanly on shutdown."""

@@ -60,7 +60,9 @@ def test_ngram_propose_never_sources_from_junk():
 
 
 # ------------------------------------------------- equality vs plain generate
-@pytest.mark.parametrize("kv_int8", [False, pytest.param(True, marks=pytest.mark.slow)])
+@pytest.mark.slow  # ~18s/variant; spec==plain is also pinned fast by
+# test_apps.py::test_chat_session_speculative_matches_plain
+@pytest.mark.parametrize("kv_int8", [False, True])
 def test_spec_equals_plain_unrolled(kv_int8):
     params = _unrolled_params()
     tokens = _prompt()

@@ -48,9 +48,10 @@ def test_stage1_loss_global_batch_equality():
     batch = _batch(np.random.default_rng(0))
     rng = jax.random.PRNGKey(7)
 
-    ref = jax.jit(lambda p, b, r: blip2_stage1_losses(
-        p, CFG, b["image_embeds"], b["text_ids"], b["text_mask"], r))(
-        params, batch, rng)
+    # reference value computed eagerly — compiling the single-device graph
+    # a second time costs ~25s of CI budget and proves nothing extra
+    ref = blip2_stage1_losses(params, CFG, batch["image_embeds"],
+                              batch["text_ids"], batch["text_mask"], rng)
 
     mesh = make_mesh(MeshSpec(data=8, model=1))
     with mesh:
