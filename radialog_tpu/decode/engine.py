@@ -40,6 +40,12 @@ class DecodeParams:
     top_k: int = 0                   # 0 = no top-k filter
     top_p: float = 1.0               # 1.0 = no nucleus filter
     seed: int = 42
+    # tokens decoded per while_loop trip: >1 amortizes the ~0.9ms fixed
+    # lax.while_loop iteration overhead this runtime pays (docs/PERF.md) over
+    # several forwards. Token-identical to unroll=1 (test_llama_decode.py);
+    # the last trip may run up to unroll-1 phantom forwards whose output
+    # writes are dropped, so pick unroll << max_new_tokens.
+    unroll: int = 1
 
 
 class GenerationResult(NamedTuple):
@@ -340,9 +346,11 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
         # dropped out-of-bounds write: a wasted full forward per generate.
         # (Session continuation is unaffected: decode/session.py already
         # treats the final token's KV as pending, not written.)
+        # With unroll>1 the trailing trip may still run up to unroll-1
+        # phantom sub-steps; their output writes are scatter-dropped below.
         return (step + 1 < max_new) & ~done.all()
 
-    def body(st):
+    def one_step(st, guard_oob: bool):
         step, cache, out, done, last_tok, key = st
         # RoPE position of the current token: prompt_len + step (per-seq;
         # + the shared prefix length in prefix-sharing mode)
@@ -356,9 +364,37 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
         key, sub = jax.random.split(key)
         nxt = _select_token(logits[:, 0], dp, sub).astype(jnp.int32)
         nxt = jnp.where(done, dp.eos_token_id, nxt)
-        out = out.at[:, step + 1].set(nxt)
+        if guard_oob:
+            # phantom sub-step past max_new: a plain .at[].set lowers to
+            # dynamic_update_slice whose CLAMPED start would overwrite the
+            # real final token; mode="drop" scatters (B,) values and drops
+            # the out-of-bounds write instead
+            out = out.at[:, step + 1].set(nxt, mode="drop")
+        else:
+            out = out.at[:, step + 1].set(nxt)
         done = done | (nxt == dp.eos_token_id)
         return (step + 1, cache, out, done, nxt, key)
+
+    unroll = max(1, int(dp.unroll))
+
+    def body(st):
+        st = one_step(st, guard_oob=False)
+        for _ in range(unroll - 1):
+            # sub-steps 2..unroll can land past max_new on the last trip:
+            # phantom forwards whose KV write hits the fresh slot
+            # prompt_pad+step (in bounds by the unroll cache check) and
+            # whose token write is dropped
+            st = one_step(st, guard_oob=True)
+        return st
+
+    # deepest phantom KV write: a trip can start at step max_new-2, so its
+    # last sub-step forwards at step max_new-2+unroll-1 and writes slot
+    # prompt_pad+max_new+unroll-3 — for unroll=2 that is within the plain
+    # prompt_pad+max_new<=s_max budget already enforced above (no headroom)
+    if unroll > 2 and prompt_pad + max_new + unroll - 2 > s_max:
+        raise ValueError(
+            f"cache too small for unroll {unroll}: phantom sub-steps write "
+            f"KV up to slot {prompt_pad + max_new + unroll - 3} >= {s_max}")
 
     # write tok0's KV while generating tok1, etc.
     init = (jnp.asarray(0), cache, out0, done0, tok0.astype(jnp.int32), key0)

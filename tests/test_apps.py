@@ -93,6 +93,8 @@ def test_chat_session_stream_matches_ask(pipe):
     assert list(stream.ask_stream(q2, chunk_size=2))[-1] == want2
 
 
+@pytest.mark.slow  # ~20s (vision+classifier compiles); the session-level
+# streaming contract is pinned fast by test_chat_session_stream_matches_ask
 def test_gradio_bot_flows(pipe, tmp_path):
     """The gradio handlers (demo.py make_bot) without gradio installed:
     image upload appends the visible RG prompt row with (img_tokens) and

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radialog_tpu.decode.beam import generate_beam
 from radialog_tpu.decode.engine import DecodeParams, generate
@@ -22,6 +23,7 @@ def test_beam1_equals_greedy():
                                   np.asarray(beam1.tokens))
 
 
+@pytest.mark.slow  # ~9s; beam correctness pinned fast by beam1==greedy
 def test_beam_score_not_worse_than_greedy():
     """The selected beam's total log-prob must be >= the greedy rollout's."""
     p = llama_init(jax.random.PRNGKey(1), CFG)

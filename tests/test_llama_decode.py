@@ -85,6 +85,9 @@ def test_lora_zero_b_is_identity():
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-5)
 
 
+@pytest.mark.slow  # ~16s (6 growing-shape forward compiles); greedy decode
+# correctness is pinned fast AND more strongly by test_reference_parity.py's
+# token-exact comparison against the reference's own LlamaForCausalLM
 def test_decode_matches_naive_rollout():
     """Cached greedy decode == repeated full forward argmax."""
     p = _params()
@@ -113,6 +116,57 @@ def test_decode_matches_naive_rollout():
     got = np.asarray(res.tokens)
     np.testing.assert_array_equal(got[0, :6], gen_naive[0])
     np.testing.assert_array_equal(got[1, :6], gen_naive[1])
+
+
+def test_decode_unroll_token_identical():
+    """dp.unroll=2 (two forwards per while trip, amortizing the fixed loop
+    overhead) must be bitwise token-identical to unroll=1 — max_new=8 makes
+    the last trip (step 6) run one PHANTOM sub-step whose output write must
+    be dropped, covering the overrun path."""
+    p = _params()
+    prompt = RNG.integers(3, 200, size=(3, 5))
+    lens = jnp.asarray([5, 5, 4])
+    toks = jnp.asarray(prompt)
+    ref = generate(p, CFG, toks, lens,
+                   DecodeParams(max_new_tokens=8, eos_token_id=1),
+                   cache_len=32)
+    got = generate(p, CFG, toks, lens,
+                   DecodeParams(max_new_tokens=8, eos_token_id=1, unroll=2),
+                   cache_len=32)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths),
+                                  np.asarray(ref.lengths))
+
+
+@pytest.mark.slow  # 3 more while_loop compiles (~25s) beyond the fast check
+def test_decode_unroll3_and_eos_token_identical():
+    """unroll=3 (a trip with TWO phantom sub-steps at max_new=8) and EOS
+    early exit under unroll=2 — both bitwise identical to unroll=1."""
+    p = _params()
+    prompt = RNG.integers(3, 200, size=(3, 5))
+    lens = jnp.asarray([5, 5, 4])
+    toks = jnp.asarray(prompt)
+    ref = generate(p, CFG, toks, lens,
+                   DecodeParams(max_new_tokens=8, eos_token_id=1),
+                   cache_len=32)
+    got = generate(p, CFG, toks, lens,
+                   DecodeParams(max_new_tokens=8, eos_token_id=1, unroll=3),
+                   cache_len=32)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))
+    # EOS early exit: make sequence 0's first greedy token the eos id
+    first = int(np.asarray(ref.tokens)[0, 0])
+    ref_e = generate(p, CFG, toks, lens,
+                     DecodeParams(max_new_tokens=8, eos_token_id=first),
+                     cache_len=32)
+    got_e = generate(p, CFG, toks, lens,
+                     DecodeParams(max_new_tokens=8, eos_token_id=first,
+                                  unroll=2), cache_len=32)
+    np.testing.assert_array_equal(np.asarray(got_e.tokens),
+                                  np.asarray(ref_e.tokens))
+    np.testing.assert_array_equal(np.asarray(got_e.lengths),
+                                  np.asarray(ref_e.lengths))
 
 
 def test_decode_eos_early_exit():

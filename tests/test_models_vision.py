@@ -25,6 +25,7 @@ def test_resnet50_shapes_stride32():
     assert float(ns2["bn1"]["count"]) == 1.0
 
 
+@pytest.mark.slow  # resnet18 is BioViL API surface RaDialog never runs
 def test_resnet18_shapes():
     p, s = resnet_init(K, (1, 1, 1, 1), bottleneck=False)
     y, _ = resnet_apply(p, s, jnp.ones((1, 64, 64, 3)), bottleneck=False)
