@@ -4,7 +4,8 @@
 // processes + 3x duplicated PIL pipelines (ReportDataset.py:277-324,
 // demo.py:173-218, chexpert_dataset.py:78-125): a C++ worker pool decodes
 // JPEGs (libjpeg), applies the exact preprocessing contract
-//   min/max remap -> uint8 -> bilinear resize (short side) -> center crop
+//   min/max remap -> uint8 -> PIL-BILINEAR resize (adaptive triangle
+//   filter, short side; see triangle_coeffs below) -> center crop
 //   -> float32 [0,1] -> replicate to 3 channels (NHWC)
 // and feeds fixed-shape batches through a bounded queue, so the host keeps
 // the TPU's input pipeline saturated without Python-thread GIL stalls.
