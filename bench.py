@@ -182,7 +182,12 @@ def main() -> None:
     rem[:, 4:4 + cfg.num_img_tokens] = cfg.img_token_id
     tokens = jnp.asarray(rem)
     lengths = jnp.full((BATCH,), t1, jnp.int32)
-    dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1)  # full-length
+    dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1,
+                      unroll=2)  # full-length; unroll=2 decodes two tokens
+    # per while_loop trip (token-identical, tests/test_llama_decode.py) —
+    # amortizes the ~0.9 ms/iteration fixed loop cost: measured 6.97 -> 7.07
+    # reports/s same-session (docs/PERF.md "Decode-loop unroll"). The
+    # pipeline default matches (PipelineConfig.decode_unroll).
 
     lane_cache = 384  # t1 + MAX_NEW_TOKENS = 380 rounded up to the int8
     # flash-decode kernel's 32-row block multiple; 56 lanes x 384 int8 slots

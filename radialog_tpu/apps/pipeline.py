@@ -85,6 +85,12 @@ class PipelineConfig:
     # decode step instead of once per lane. Auto-disabled when the batch's
     # common prefix is shorter than SHARED_PREFIX_MIN tokens.
     max_new_tokens: int = 300                # test.py:344
+    decode_unroll: Optional[int] = None      # tokens decoded per while_loop
+    # trip (DecodeParams.unroll — token-identical to 1, amortizes the
+    # ~0.9 ms/iteration fixed loop cost of this runtime). None = 2 on the
+    # quantized serving path (measured +1.4% reports/s at the b56 serving
+    # default, docs/PERF.md "Decode-loop unroll"), 1 elsewhere (CPU/mock
+    # paths keep the smaller loop body → faster test compiles).
     seed: int = 42
 
     def use_kv_int8(self) -> bool:
@@ -330,10 +336,13 @@ class RaDialogPipeline:
         (prompt + generation, mirroring batch_decode at test.py:351)."""
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
         tokens, lengths = pad_batch_right(ids, _pad_id(self.tokenizer))
+        unroll = self.cfg.decode_unroll or (
+            2 if self.cfg.quantize and not self.cfg.mock else 1)
         dp = DecodeParams(
             max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
             eos_token_id=self.tokenizer.eos_token_id,
-            do_sample=do_sample, temperature=temperature, seed=self.cfg.seed)
+            do_sample=do_sample, temperature=temperature, seed=self.cfg.seed,
+            unroll=1 if num_beams > 1 else unroll)
         cache_len = bucket_length(tokens.shape[1] + dp.max_new_tokens)
         if num_beams > 1:
             from ..decode.beam import generate_beam

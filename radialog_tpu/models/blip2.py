@@ -103,12 +103,22 @@ def _normalize(x: jax.Array) -> jax.Array:
 
 def blip2_stage1_losses(params: Dict, cfg: Blip2Config, image_embeds: jax.Array,
                         text_ids: jax.Array, text_mask: jax.Array,
-                        rng: jax.Array, policy: DTypePolicy = FP32
-                        ) -> Stage1Losses:
+                        rng: jax.Array, policy: DTypePolicy = FP32,
+                        itm_chunks: int = 1) -> Stage1Losses:
     """ITC + ITM + LM over one in-batch sample set (blip2_qformer.py:281-399).
 
     image_embeds: (B, 196, 1408) ln_vision'd (frozen-trunk) patch tokens.
     text_ids/text_mask: (B, T) CLS-first BERT tokens, T <= max_txt_len.
+    itm_chunks > 1 runs the hard-negative ITM forward (a 3B-batch Q-Former
+    pass, the step's peak activation) as a REMAT'd lax.map over that many
+    equal-size chunks: per-sample math is unchanged (the Q-Former has no
+    cross-batch ops), and jax.checkpoint around the chunk body means the
+    backward recomputes one chunk's Q-Former activations at a time instead
+    of keeping all 3B rows' residuals live — peak ITM activation memory
+    drops by the chunk factor (a bare lax.map does NOT help: scan stacks
+    every iteration's residuals, measured 17.6G -> 38.8G at b64). This is
+    the lever that moves the stage-1 batch-64 HBM wall
+    (tools/bench_train.py --stage1 --itm-chunks, docs/PERF.md).
     """
     qcfg = cfg.qformer
     b = image_embeds.shape[0]
@@ -145,9 +155,28 @@ def blip2_stage1_losses(params: Dict, cfg: Blip2Config, image_embeds: jax.Array,
     image_all = jnp.concatenate([image_embeds, image_embeds[neg_img_idx], image_embeds], 0)
     attn_all = jnp.concatenate(
         [jnp.ones((3 * b, nq), text_mask.dtype), text_mask_all], axis=1)
-    itm_hidden = qformer_multimodal(params["qformer"], qcfg, text_ids_all,
-                                    attn_all, image_all, policy=policy)
-    itm_logits = linear(params["itm_head"], itm_hidden[:, :nq], policy).mean(axis=1)
+    if itm_chunks > 1:
+        if (3 * b) % itm_chunks:
+            raise ValueError(f"itm_chunks {itm_chunks} must divide 3*batch "
+                             f"({3 * b})")
+        cb = 3 * b // itm_chunks
+
+        @jax.checkpoint
+        def _chunk(qparams, ids, attn, img):
+            hid = qformer_multimodal(qparams, qcfg, ids, attn, img,
+                                     policy=policy)
+            return hid[:, :nq]
+
+        itm_q = jax.lax.map(lambda a: _chunk(params["qformer"], *a), (
+            text_ids_all.reshape(itm_chunks, cb, -1),
+            attn_all.reshape(itm_chunks, cb, -1),
+            image_all.reshape(itm_chunks, cb, *image_all.shape[1:]),
+        )).reshape(3 * b, nq, -1)
+    else:
+        itm_hidden = qformer_multimodal(params["qformer"], qcfg, text_ids_all,
+                                        attn_all, image_all, policy=policy)
+        itm_q = itm_hidden[:, :nq]
+    itm_logits = linear(params["itm_head"], itm_q, policy).mean(axis=1)
     itm_labels = jnp.concatenate([jnp.ones((b,), jnp.int32),
                                   jnp.zeros((2 * b,), jnp.int32)])
     loss_itm = _smoothed_ce(itm_logits.astype(jnp.float32), itm_labels, 0.0)

@@ -99,16 +99,18 @@ def make_lora_train_step(tx: optax.GradientTransformation, cfg: LlamaConfig,
 
 
 def make_stage1_train_step(tx: optax.GradientTransformation, cfg: Blip2Config,
-                           policy: DTypePolicy = FP32) -> Callable:
+                           policy: DTypePolicy = FP32,
+                           itm_chunks: int = 1) -> Callable:
     """Q-Former stage-1 (ITC+ITM+LM). Trains everything in the blip2 param
     tree except the frozen visual trunk (blip2_qformer.py:66-71) — callers
     pass image_embeds already encoded (and therefore gradient-free), matching
-    the reference where the ViT is under no_grad."""
+    the reference where the ViT is under no_grad. itm_chunks: see
+    blip2_stage1_losses (the batch-64 HBM lever, docs/PERF.md)."""
 
     def loss_fn(params, batch, rng):
         out = blip2_stage1_losses(params, cfg, batch["image_embeds"],
                                   batch["text_ids"], batch["text_mask"],
-                                  rng, policy=policy)
+                                  rng, policy=policy, itm_chunks=itm_chunks)
         return out.loss, out
 
     def step(state: TrainState, batch: Dict, rng: jax.Array) -> Tuple[TrainState, Dict]:
@@ -126,7 +128,8 @@ def make_stage1_train_step(tx: optax.GradientTransformation, cfg: Blip2Config,
 def make_stage1_raw_train_step(tx: optax.GradientTransformation,
                                cfg: Blip2Config,
                                policy: DTypePolicy = FP32,
-                               augment: bool = False) -> Callable:
+                               augment: bool = False,
+                               itm_chunks: int = 1) -> Callable:
     """Stage-1 step over RAW images: the frozen BioViL trunk runs inside the
     jitted step under stop_gradient (the reference runs the ViT forward per
     batch under no_grad, blip2_qformer.py:96), ln_vision stays trainable
@@ -153,7 +156,8 @@ def make_stage1_raw_train_step(tx: optax.GradientTransformation,
         image_embeds = layernorm(params["ln_vision"], tokens)
         out = blip2_stage1_losses(params, cfg, image_embeds,
                                   batch["text_ids"], batch["text_mask"],
-                                  rng, policy=policy)
+                                  rng, policy=policy,
+                                  itm_chunks=itm_chunks)
         return out.loss, out
 
     def step(state: TrainState, visual_params: Dict, visual_state: Dict,

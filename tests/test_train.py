@@ -151,3 +151,31 @@ class TestStage1Step:
                 assert np.isfinite(float(v))
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
+
+    @pytest.mark.slow  # two full stage-1 grad compiles, ~90s on one core
+    def test_itm_chunks_is_math_identical(self):
+        # the batch-64 compile-wall lever (blip2_stage1_losses itm_chunks):
+        # the Q-Former has no cross-batch ops, so mapping the 3B-wide ITM
+        # forward in chunks must leave losses AND grads unchanged up to
+        # matmul tiling noise
+        from radialog_tpu.models.blip2 import blip2_init, blip2_stage1_losses
+        bcfg = Blip2Config(qformer=TINY_QFORMER, max_txt_len=12)
+        params, _ = blip2_init(jax.random.PRNGKey(0), bcfg, with_vision=False)
+        rng = np.random.default_rng(1)
+        embs = jnp.asarray(rng.normal(size=(4, 16, bcfg.qformer.encoder_width)),
+                           jnp.float32)
+        ids = jnp.asarray(rng.integers(4, 120, (4, 10)), jnp.int32)
+        mask = jnp.ones((4, 10), jnp.int32)
+        key = jax.random.PRNGKey(3)
+
+        def loss(p, chunks):
+            return blip2_stage1_losses(p, bcfg, embs, ids, mask, key,
+                                       itm_chunks=chunks).loss
+
+        (l1, g1), (l3, g3) = (jax.value_and_grad(loss)(params, c)
+                              for c in (1, 3))
+        np.testing.assert_allclose(float(l1), float(l3), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g3)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)

@@ -46,6 +46,13 @@ def main() -> None:
     ap.add_argument("--new-tokens", type=int, default=300)
     ap.add_argument("--kv-int8", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--accept-pattern", type=str, default=None,
+                    help="comma-separated ints: adds a 'realistic' mode whose "
+                         "drafts match the true greedy stream for pattern[i] "
+                         "tokens on iteration i (cycling) then mismatch — a "
+                         "MEASURED e2e wall at a controlled acceptance rate. "
+                         "'1,2' = 2.5 emitted/forward, the realistic "
+                         "correction-pass rate from tools/spec_acceptance.py")
     args = ap.parse_args()
 
     import jax
@@ -111,8 +118,35 @@ def main() -> None:
         # i.e. the pure overhead floor of running (k+1)-wide steps
         return jnp.ones((_k,), jnp.int32)
 
-    for mode, proposer in (("oracle", oracle), ("ngram", None),
-                           ("junk", junk)):
+    modes = [("oracle", oracle), ("ngram", None), ("junk", junk)]
+    if args.accept_pattern:
+        pattern = [int(x) for x in args.accept_pattern.split(",")]
+        # Precompute a hist_len-indexed draft table that matches the true
+        # stream for exactly pattern[i % len] tokens on iteration i: under
+        # greedy teacher forcing the model's post-accepted-prefix argmax IS
+        # the true next token, so the engine's acceptance per iteration is
+        # controlled exactly (the emission walk below mirrors the engine's
+        # emit = accepted + 1, so every visited hist_len row is populated).
+        stream_np = np.asarray(stream)
+        n_new, pl = args.new_tokens, t
+        tbl_np = np.ones((pl + n_new + args.k + 2, args.k), np.int32)
+        c, it_i = 1, 0
+        while c < n_new:
+            acc = min(pattern[it_i % len(pattern)], args.k, n_new - c - 1)
+            row = np.where(stream_np[c:c + args.k] == 1, 2, 1)[:args.k]
+            row = np.concatenate([row, np.ones(args.k - len(row), np.int32)])
+            row[:acc] = stream_np[c:c + acc]
+            tbl_np[pl + c] = row
+            c += acc + 1
+            it_i += 1
+        tbl = jnp.asarray(tbl_np)
+
+        def realistic(hist, hist_len, _tbl=tbl, _k=args.k):
+            return jax.lax.dynamic_slice(_tbl, (hist_len, 0), (1, _k))[0]
+
+        modes.append(("realistic", realistic))
+
+    for mode, proposer in modes:
         res, wall = timed(generate_spec_jit, params, cfg, tokens, dp,
                           k=args.k, m=args.m, lora=lora, policy=BF16,
                           cache_len=cache_len, kv_int8=args.kv_int8,
@@ -133,8 +167,10 @@ def main() -> None:
            "drafter (random-weight greedy text degenerates into repetition, "
            "which prompt-lookup catches — real-text acceptance is workload-"
            "dependent, highest on correction/QA turns)"}
+    if args.accept_pattern:
+        hdr["accept_pattern"] = args.accept_pattern
     print(json.dumps(hdr))
-    for mode in ("plain", "oracle", "ngram", "junk"):
+    for mode in out:
         print(json.dumps(out[mode]))
 
 

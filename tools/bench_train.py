@@ -96,8 +96,9 @@ def bench_stage1(args) -> None:
     visual_params = params.pop("visual")
     visual_state = state_v["visual"]
     tx = optax.adamw(1e-4)
-    step_fn = jax.jit(make_stage1_raw_train_step(tx, cfg, policy=BF16),
-                      donate_argnums=(0,))
+    step_fn = jax.jit(make_stage1_raw_train_step(
+        tx, cfg, policy=BF16, itm_chunks=args.itm_chunks),
+        donate_argnums=(0,))
     rng = np.random.default_rng(0)
     t = 128
     for mb in args.micro:
@@ -139,6 +140,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--flash", action="store_true",
                     help="route training attention through the Pallas flash kernel + its custom VJP")
+    ap.add_argument("--itm-chunks", type=int, default=1,
+                    help="(--stage1) run the 3x-batch hard-negative ITM "
+                         "forward as a lax.map over this many chunks — "
+                         "math-identical, smaller peak activations + HLO; "
+                         "the batch-64 compile-wall lever (docs/PERF.md)")
     ap.add_argument("--stage1", action="store_true",
                     help="bench the Q-Former stage-1 raw-image step instead "
                          "of the LoRA step (--micro then means batch; the "
