@@ -22,6 +22,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.llama import (KVCache, LlamaConfig, decode_bias_static_slot,
                             find_img_start, init_cache, llama_apply,
@@ -330,7 +331,11 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
     key0 = jax.random.PRNGKey(dp.seed)
     if prompt_pad is None:
         raise ValueError("decode_loop requires prompt_pad (padded prompt length)")
-    if prompt_pad + max_new > s_max:
+    # prompt_pad may be a TRACED scalar (interactive sessions jit one decode
+    # executable reused across turns, decode/session.py — the turn offset is
+    # data, not a compile key); bounds checks then live on the caller.
+    pad_static = isinstance(prompt_pad, (int, np.integer))
+    if pad_static and prompt_pad + max_new > s_max:
         raise ValueError(f"cache too small: {prompt_pad}+{max_new} > {s_max}")
 
     tok0 = _select_token(first_logits, dp, key0)
@@ -391,7 +396,7 @@ def _decode_loop_with_cache(params: Dict, cfg: LlamaConfig, cache: KVCache,
     # last sub-step forwards at step max_new-2+unroll-1 and writes slot
     # prompt_pad+max_new+unroll-3 — for unroll=2 that is within the plain
     # prompt_pad+max_new<=s_max budget already enforced above (no headroom)
-    if unroll > 2 and prompt_pad + max_new + unroll - 2 > s_max:
+    if unroll > 2 and pad_static and prompt_pad + max_new + unroll - 2 > s_max:
         raise ValueError(
             f"cache too small for unroll {unroll}: phantom sub-steps write "
             f"KV up to slot {prompt_pad + max_new + unroll - 3} >= {s_max}")

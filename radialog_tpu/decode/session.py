@@ -17,6 +17,7 @@ overwritten by subsequent writes.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -27,7 +28,59 @@ from ..models.llama import (KVCache, LlamaConfig, find_img_start, init_cache,
                             llama_apply)
 from ..ops.attention import causal_mask_bias
 from ..ops.layers import DTypePolicy, FP32
-from .engine import DecodeParams
+from .engine import DecodeParams, _decode_loop_with_cache
+
+
+# Session executables: ONE compile per (shape, dp) signature, reused across
+# turns. The turn offset ``cur_len`` is a TRACED int32 scalar — it is data,
+# not a compile key (positions, masks and the cache write slot all derive
+# from it inside the program). Without this every turn / stream chunk would
+# re-trace the full decode while_loop (a fresh multi-second compile per
+# reply on the 7B shapes — the exact per-turn recompile tax the reference's
+# HF generate() pays, which this session exists to avoid). The cache is
+# donated: each turn's executable updates the conversation cache in place
+# instead of allocating a second copy (2x-cache peak on 7B, engine.py).
+
+@partial(jax.jit, static_argnames=("cfg", "policy"),
+         donate_argnames=("cache",))
+def _session_prefill(params, cfg: LlamaConfig, cache, tokens, cur_len,
+                     true_len, img_embs, lora, policy: DTypePolicy):
+    """Incremental prefill of a 16-bucketed turn at offset cur_len."""
+    t = tokens.shape[1]
+    positions = cur_len + jnp.arange(t)[None]
+    bias = causal_mask_bias(t, cache.max_len, offset=cur_len)
+    img_start = (find_img_start(tokens, cfg.img_token_id)
+                 if img_embs is not None else None)
+    # Unrolled serving params take llama_apply's DIRECT-prefill branch, which
+    # attends only the appended block's own fresh K/V — correct at offset 0,
+    # wrong for a turn-2 append that must also attend the cached history.
+    # verify=True routes those params through the full-cache attention path
+    # (the same one speculative verification uses); the stacked layout always
+    # attends the full cache and ignores the flag.
+    unrolled = isinstance(params["layers"], (list, tuple))
+    return llama_apply(params, cfg, tokens, positions, bias, cache=cache,
+                       write_pos=cur_len, img_embs=img_embs,
+                       img_start=img_start, lora=lora, policy=policy,
+                       last_pos=true_len[None] - 1, verify=unrolled)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dp", "policy"),
+         donate_argnames=("cache",))
+def _session_decode(params, cfg: LlamaConfig, cache, first_logits, cur_len,
+                    dp: DecodeParams, lora, policy: DTypePolicy):
+    return _decode_loop_with_cache(
+        params, cfg, cache, first_logits, cur_len[None], dp, lora=lora,
+        policy=policy, prompt_pad=cur_len)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dp", "k", "m", "policy"),
+         donate_argnames=("cache",))
+def _session_spec(params, cfg: LlamaConfig, cache, first_logits, cur_len,
+                  dp: DecodeParams, k: int, m: int, hist, lora,
+                  policy: DTypePolicy):
+    from .speculative import spec_decode_loop
+    return spec_decode_loop(params, cfg, cache, first_logits, cur_len, dp,
+                            k, m, hist, lora=lora, policy=policy)
 
 
 class InteractiveSession:
@@ -72,15 +125,10 @@ class InteractiveSession:
         if self.cur_len + t > self.cache_len:
             raise ValueError(f"conversation overflow: {self.cur_len}+{t} > "
                              f"{self.cache_len}")
-        positions = self.cur_len + jnp.arange(t)[None]
-        bias = causal_mask_bias(t, self.cache_len, offset=self.cur_len)
-        img_start = (find_img_start(tokens, self.cfg.img_token_id)
-                     if img_embs is not None else None)
-        logits, self.cache = llama_apply(
-            self.params, self.cfg, tokens, positions, bias, cache=self.cache,
-            write_pos=self.cur_len, img_embs=img_embs, img_start=img_start,
-            lora=self.lora, policy=self.policy,
-            last_pos=jnp.asarray([tn - 1]))
+        logits, self.cache = _session_prefill(
+            self.params, self.cfg, self.cache, tokens,
+            jnp.asarray(self.cur_len, jnp.int32),
+            jnp.asarray(tn, jnp.int32), img_embs, self.lora, self.policy)
         self._last_logits = logits[:, 0]
         self.cur_len += tn
         self.token_ids.extend(ids)
@@ -92,13 +140,12 @@ class InteractiveSession:
             raise RuntimeError("append_tokens must run before generate")
         if self.cur_len + dp.max_new_tokens > self.cache_len:
             raise ValueError("conversation overflow")
-        out, gen_len, cache = decode_loop_with_cache(
+        res, cache = _session_decode(
             self.params, self.cfg, self.cache, self._last_logits,
-            jnp.asarray([self.cur_len], jnp.int32), dp, lora=self.lora,
-            policy=self.policy, prompt_pad=self.cur_len)
+            jnp.asarray(self.cur_len, jnp.int32), dp, self.lora, self.policy)
         self.cache = cache
-        n = int(gen_len[0])
-        new_ids = [int(x) for x in np.asarray(out)[0, :n]]
+        n = int(res.lengths[0])
+        new_ids = [int(x) for x in np.asarray(res.tokens)[0, :n]]
         # KV for tokens [0, n-1) is written at slots cur_len..; the final
         # token (often eos) is only selected, not yet fed through the model
         written = max(n - 1, 0)
@@ -121,8 +168,6 @@ class InteractiveSession:
         discussion, QA answers quote finding phrases. Single-sequence slots
         == positions here, exactly the batch-1 contract the speculative
         loop requires."""
-        from .speculative import spec_decode_loop
-
         if self._last_logits is None:
             raise RuntimeError("append_tokens must run before generate_spec")
         if self.cur_len + dp.max_new_tokens + k + 1 > self.cache_len:
@@ -133,12 +178,12 @@ class InteractiveSession:
             # overwrites them before anything attends that region — the
             # same invariant as the append padding tail (class docstring)
             raise ValueError("session speculative decode supports k <= 15")
-        hist = jnp.full((self.cache_len,), -1, jnp.int32)
-        hist = hist.at[:self.cur_len].set(
-            jnp.asarray(self.token_ids, jnp.int32))
-        res, cache = spec_decode_loop(
+        hist_np = np.full((self.cache_len,), -1, np.int32)
+        hist_np[:self.cur_len] = np.asarray(self.token_ids, np.int32)
+        res, cache = _session_spec(
             self.params, self.cfg, self.cache, self._last_logits,
-            self.cur_len, dp, k, m, hist, lora=self.lora, policy=self.policy)
+            jnp.asarray(self.cur_len, jnp.int32), dp, k, m,
+            jnp.asarray(hist_np), self.lora, self.policy)
         self.cache = cache
         n = int(res.lengths[0])
         new_ids = [int(x) for x in np.asarray(res.tokens)[0, :n]]
