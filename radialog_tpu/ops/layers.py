@@ -13,6 +13,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -33,15 +34,57 @@ BF16 = DTypePolicy()
 
 
 # --------------------------------------------------------------------------- init
+# Per-layer init draws run HOST-SIDE via numpy, seeded deterministically from
+# the JAX key. Rationale: a fresh model init makes one jax.random call per
+# layer, and every distinct shape is its own tiny XLA program — a ResNet-50
+# init was measured at ~160 CPU compiles / 20+ s on one core (the dominant
+# cost of every mock-pipeline test). These are init-time-only small arrays;
+# the big 7B-scale draws (llama_init) stay on jax.random so they generate
+# on-device. A traced key falls back to jax.random (never the case today —
+# inits are eager — but keeps the helpers jit-safe).
+def _host_rng(key: jax.Array) -> np.random.Generator:
+    data = np.asarray(jax.random.key_data(key)).astype(np.uint32).ravel()
+    words = np.frombuffer(data.tobytes()[:16].ljust(16, b"\x00"),
+                          dtype=np.uint64)  # Philox takes a 2x64-bit key
+    return np.random.Generator(np.random.Philox(key=words))
+
+
+def _is_traced(key) -> bool:
+    return isinstance(key, jax.core.Tracer)
+
+
 def trunc_normal(key: jax.Array, shape: Sequence[int], std: float = 0.02,
                  dtype=jnp.float32) -> jax.Array:
     """Truncated normal in [-2std, 2std] (timm trunc_normal_ convention)."""
-    return std * jax.random.truncated_normal(key, -2.0, 2.0, tuple(shape), jnp.float32).astype(dtype)
+    if _is_traced(key):
+        return std * jax.random.truncated_normal(
+            key, -2.0, 2.0, tuple(shape), jnp.float32).astype(dtype)
+    rng = _host_rng(key)
+    n = int(np.prod(shape)) if len(tuple(shape)) else 1
+    out = np.empty(0, np.float32)
+    while out.size < n:  # rejection sampling; ~4.6% of draws fall outside
+        draw = rng.standard_normal(int(n * 1.1) + 16, dtype=np.float32)
+        out = np.concatenate([out, draw[(draw > -2.0) & (draw < 2.0)]])
+    return jnp.asarray(std * out[:n].reshape(tuple(shape)), dtype)
 
 
 def _fan_in_uniform(key, shape, fan_in, dtype):
     bound = 1.0 / math.sqrt(max(fan_in, 1))
-    return jax.random.uniform(key, tuple(shape), jnp.float32, -bound, bound).astype(dtype)
+    if _is_traced(key):
+        return jax.random.uniform(key, tuple(shape), jnp.float32,
+                                  -bound, bound).astype(dtype)
+    u = _host_rng(key).random(tuple(shape), dtype=np.float32)
+    return jnp.asarray((u * 2.0 - 1.0) * bound, dtype)
+
+
+def normal_init(key: jax.Array, shape: Sequence[int],
+                std: float = 1.0, dtype=jnp.float32) -> jax.Array:
+    """Host-side N(0, std²) init draw (same compile-avoidance rationale)."""
+    if _is_traced(key):
+        return (jax.random.normal(key, tuple(shape), jnp.float32)
+                * std).astype(dtype)
+    draw = _host_rng(key).standard_normal(tuple(shape), dtype=np.float32)
+    return jnp.asarray(draw * std, dtype)
 
 
 # ------------------------------------------------------------------------- linear
@@ -83,8 +126,8 @@ def conv2d_init(key: jax.Array, in_ch: int, out_ch: int, kernel: int | Tuple[int
     kw1, kb = jax.random.split(key)
     # He-normal init (torch Conv2d default is kaiming_uniform; close enough for
     # fresh training — pretrained paths overwrite these anyway).
-    w = jax.random.normal(kw1, (kh, kw_, in_ch, out_ch), jnp.float32)
-    w = (w * math.sqrt(2.0 / fan_in)).astype(dtype)
+    w = normal_init(kw1, (kh, kw_, in_ch, out_ch),
+                    std=math.sqrt(2.0 / fan_in), dtype=dtype)
     p = {"w": w}
     if bias:
         p["b"] = _fan_in_uniform(kb, (out_ch,), fan_in, dtype)

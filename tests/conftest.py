@@ -11,7 +11,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # The suite is compile-bound on its one CPU core (tiny models, many
+    # distinct jit programs); O0 halves compile time for the heavy modules
+    # and every numerical-parity tolerance still holds (measured 2026-08-19:
+    # stage1_multichip+beam 80s -> 42s, parity modules all green). Real-TPU
+    # benches/verify run without this override.
+    flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
