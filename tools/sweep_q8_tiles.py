@@ -69,6 +69,10 @@ def main() -> None:
         for name, (k, n) in LAYER_SHAPES.items():
             bk = pick_bk_cap(k, cap)
             packed[name] = pack_q8(host_w[name], bn=bn, bk=bk)
+        # Device-put ONCE before fanning out to 32 layer references: pack_q8
+        # returns numpy, and 32 host leaves would each re-cross the ~1GB/s
+        # tunnel at call time (~22GB -> indefinite stall, learned the hard way).
+        packed = jax.tree.map(jnp.asarray, packed)
         layers = [packed] * NUM_LAYERS   # same buffers; DMA cost identical
 
         @jax.jit
