@@ -57,7 +57,30 @@ def main():
     rng = np.random.default_rng(0)
     n = 8 if args.mock else 16
     labels = rng.integers(0, 2, (n, NUM_CLASSES)).astype(np.float32)
-    images = rng.random((n, size, size, 3)).astype(np.float32)
+    # images go through the PRODUCTION input path: JPEG files -> the C++
+    # libjpeg pool (native/loader.py CxrLoader, PIL fallback) -> resize-512 /
+    # center-crop-`size` float batches — the reference's torch DataLoader +
+    # transform stack (chexpert_train.py MIMIC_CXR_Dataset) done native.
+    # The mock synthesizes the JPEG tree it loads from.
+    import tempfile
+    from pathlib import Path
+
+    from PIL import Image
+
+    from radialog_tpu.native.loader import CxrLoader
+
+    img_dir = Path(tempfile.mkdtemp(prefix="chexpert_imgs_"))
+    paths = []
+    for i in range(n):
+        arr = rng.integers(0, 255, (600, 520), np.uint8)
+        p = img_dir / f"dcm{i:03d}.jpg"
+        Image.fromarray(arr, "L").save(p)
+        paths.append(str(p))
+    with CxrLoader(paths, batch=n, resize=512, crop=size, threads=2,
+                   shuffle=False) as ld:
+        batches_all = [(im, ix) for im, ix in ld.epoch()]
+    order = np.concatenate([ix for _, ix in batches_all])
+    images = np.concatenate([im for im, _ in batches_all])[np.argsort(order)]
     pw = class_weights(labels, args.loss_weighting)
     print("class weights (first 4):", np.round(pw[:4], 3))
 

@@ -41,6 +41,7 @@ def main():
     from radialog_tpu.core.config import Config
     from radialog_tpu.models.blip2 import (Blip2Config, blip2_init,
                                            blip2_forward_image,
+                                           blip2_generate_caption,
                                            blip2_stage1_losses)
     from radialog_tpu.models.qformer import TINY_QFORMER
     from radialog_tpu.core.mesh import init_distributed
@@ -98,7 +99,14 @@ def main():
         eval_fn = jax.jit(lambda p, batch, rng: blip2_stage1_losses(
             p, bcfg, batch["image_embeds"], batch["text_ids"],
             batch["text_mask"], rng).loss)
-        runner.train(batches, val_batches=lambda: batches(0), eval_fn=eval_fn)
+        # per-val-epoch generation QC artifacts (runner_base.py:396-409):
+        # greedy Q-Former captions + prediction/GT dumps under output_dir
+        gen_fn = jax.jit(lambda p, batch: blip2_generate_caption(
+            p, bcfg, batch["image_embeds"], max_length=8, min_length=1))
+        decode = lambda row: " ".join(  # noqa: E731 — mock id-decode
+            f"t{int(i)}" for i in row if int(i) > 3)
+        runner.train(batches, val_batches=lambda: batches(0), eval_fn=eval_fn,
+                     generate_fn=gen_fn, decode_fn=decode)
         print("stage-1 mock training done; outputs in", scfg.output_dir)
         return
 
@@ -121,11 +129,11 @@ def run_mock_raw(args, scfg):
     from PIL import Image
 
     from radialog_tpu.data.datasets import MimicPaths, Stage1Data
+    from radialog_tpu.data.prefetch import DevicePrefetcher, stage1_raw_batches
     from radialog_tpu.data.tokenization import WhitespaceTokenizer
     from radialog_tpu.models.biovil_t import biovil_t_init
     from radialog_tpu.models.blip2 import Blip2Config, blip2_init
     from radialog_tpu.models.qformer import TINY_QFORMER
-    from radialog_tpu.ops.image import load_image_grayscale, preprocess_cxr_batch
     from radialog_tpu.train.optim import make_adamw
     from radialog_tpu.train.runner import Stage1Config  # noqa: F401 (surface)
     from radialog_tpu.train.steps import TrainState, make_stage1_raw_train_step
@@ -181,36 +189,33 @@ def run_mock_raw(args, scfg):
                                                  augment=args.use_augs))
     jkey = jax.random.PRNGKey(scfg.seed)
 
-    def make_batch(sub_epoch, start):
-        data.set_custom_epoch(sub_epoch)
-        recs = [data[(start + j) % len(data)] for j in range(b)]
-        imgs = np.stack([load_image_grayscale(r["img_path"]) for r in recs])
-        images = preprocess_cxr_batch(jnp.asarray(imgs), resize=72, crop=64)
-        ids = [tok(r["text_output"], max_length=bcfg.max_txt_len)["input_ids"]
-               for r in recs]
-        t = max(len(x) for x in ids)
-        text_ids = np.zeros((b, t), np.int32)
-        text_mask = np.zeros((b, t), np.int32)
-        for j, x in enumerate(ids):
-            text_ids[j, :len(x)] = x
-            text_mask[j, :len(x)] = 1
-        return {"images": images, "text_ids": jnp.asarray(text_ids),
-                "text_mask": jnp.asarray(text_mask)}
+    # PRODUCTION input pipeline (the reference's worker DataLoader +
+    # PrefetchLoader, dataloader_utils.py:46-109, done TPU-style): the C++
+    # libjpeg pool decodes+preprocesses in worker threads
+    # (native/loader.py CxrLoader; PIL fallback inside) and DevicePrefetcher
+    # stages batches onto the chip ahead of the step loop.
+    import itertools
 
     spe = args.steps_per_epoch or 2
     for epoch in range(args.max_epoch or 1):
         for sub in range(data.custom_epochs_per_epoch):
-            for it in range(spe):
-                batch = make_batch(sub, it * b)
-                jkey, sk = jax.random.split(jkey)
-                state, metrics = step_fn(state, visual_params, visual_state,
-                                         batch, sk)
-                print(f"epoch {epoch}.{sub} it {it}: "
-                      f"loss={float(metrics['loss']):.4f} "
-                      f"itc={float(metrics['loss_itc']):.4f} "
-                      f"itm={float(metrics['loss_itm']):.4f} "
-                      f"lm={float(metrics['loss_lm']):.4f}")
-    print("raw-image stage-1 mock done (JPEG -> loss, no precomputed embeds)")
+            batches = itertools.islice(
+                itertools.cycle(stage1_raw_batches(
+                    data, tok, bcfg.max_txt_len, batch=b, sub_epoch=sub,
+                    resize=72, crop=64, threads=2, seed=epoch,
+                    drop_last=False)), spe)
+            with DevicePrefetcher(batches, depth=2) as pf:
+                for it, batch in enumerate(pf):
+                    jkey, sk = jax.random.split(jkey)
+                    state, metrics = step_fn(state, visual_params,
+                                             visual_state, batch, sk)
+                    print(f"epoch {epoch}.{sub} it {it}: "
+                          f"loss={float(metrics['loss']):.4f} "
+                          f"itc={float(metrics['loss_itc']):.4f} "
+                          f"itm={float(metrics['loss_itm']):.4f} "
+                          f"lm={float(metrics['loss_lm']):.4f}")
+    print("raw-image stage-1 mock done (JPEG -> native pool -> loss, "
+          "no precomputed embeds)")
 
 
 if __name__ == "__main__":

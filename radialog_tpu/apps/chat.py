@@ -16,7 +16,7 @@ import numpy as np
 
 from ..data.conversation import Conversation, DEMO_SYSTEM
 from ..data.prompts import IMG_RUN
-from ..ops.image import load_image_grayscale, preprocess_cxr_np
+from ..native.loader import preprocess_file
 from .pipeline import RaDialogPipeline
 
 RG_PROMPT = (
@@ -69,9 +69,11 @@ class ChatSession:
     def load_image(self, path: str) -> Tuple[str, Optional[str]]:
         """Image upload turn (demo.py:248-276): classify findings, embed the
         image; in report mode immediately generates the report."""
-        img = load_image_grayscale(path)
-        blip_img = preprocess_cxr_np(img, resize=512, crop=448)
-        cp_img = preprocess_cxr_np(img, resize=512, crop=488)
+        # native C++ decode+preprocess (libjpeg pool path, PIL-parity-pinned
+        # in tests/test_native_loader.py; falls back to PIL when the native
+        # build is unavailable — native/loader.py preprocess_file)
+        blip_img = preprocess_file(path, resize=512, crop=448)
+        cp_img = preprocess_file(path, resize=512, crop=488)
 
         dicom = Path(path).stem
         if dicom in self.precomputed:

@@ -336,8 +336,10 @@ class RaDialogPipeline:
         (prompt + generation, mirroring batch_decode at test.py:351)."""
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
         tokens, lengths = pad_batch_right(ids, _pad_id(self.tokenizer))
-        unroll = self.cfg.decode_unroll or (
-            2 if self.cfg.quantize and not self.cfg.mock else 1)
+        unroll = self.cfg.decode_unroll if self.cfg.decode_unroll is not None \
+            else (2 if self.cfg.quantize and not self.cfg.mock else 1)
+        if unroll < 1:
+            raise ValueError(f"decode_unroll must be >= 1, got {unroll}")
         dp = DecodeParams(
             max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
             eos_token_id=self.tokenizer.eos_token_id,

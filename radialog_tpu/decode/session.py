@@ -138,8 +138,15 @@ class InteractiveSession:
         tokens' KV stays in the cache for the next turn."""
         if self._last_logits is None:
             raise RuntimeError("append_tokens must run before generate")
-        if self.cur_len + dp.max_new_tokens > self.cache_len:
-            raise ValueError("conversation overflow")
+        # unroll>=3 sub-steps can write phantom KV up to (unroll-2) slots past
+        # max_new; with a traced cur_len the engine's static-pad bounds check
+        # (engine.py phantom-KV guard) never fires, so enforce it host-side —
+        # the session knows cur_len concretely.
+        headroom = max(0, dp.unroll - 2)
+        if self.cur_len + dp.max_new_tokens + headroom > self.cache_len:
+            raise ValueError(
+                f"conversation overflow: {self.cur_len}+{dp.max_new_tokens}"
+                f"+{headroom} (unroll phantom headroom) > {self.cache_len}")
         res, cache = _session_decode(
             self.params, self.cfg, self.cache, self._last_logits,
             jnp.asarray(self.cur_len, jnp.int32), dp, self.lora, self.policy)

@@ -67,9 +67,16 @@ class Stage1Runner:
 
     def train(self, train_batches: Callable[[int], Iterable[Dict]],
               val_batches: Optional[Callable[[], Iterable[Dict]]] = None,
-              eval_fn: Optional[Callable] = None) -> TrainState:
+              eval_fn: Optional[Callable] = None,
+              generate_fn: Optional[Callable] = None,
+              decode_fn: Optional[Callable] = None) -> TrainState:
         """train_batches(sub_epoch_index) yields batch dicts with
-        image_embeds/text_ids/text_mask."""
+        image_embeds/text_ids/text_mask.
+
+        generate_fn(params, batch) -> (B, T) caption token ids and
+        decode_fn(ids_row) -> str enable the reference's per-val-epoch
+        generation QC artifacts (prediction/GT dumps + an HTML sample
+        table, runner_base.py:396-409,431-450) via dump_val_generations."""
         cfg = self.cfg
         for epoch in range(cfg.max_epoch):
             for sub in range(cfg.custom_epochs):
@@ -89,7 +96,55 @@ class Stage1Runner:
                                               self.state.params)
                 self.logger.log({"split": "val", "epoch": epoch,
                                  "loss": val_loss, "best": improved})
+                if generate_fn is not None and decode_fn is not None:
+                    self.dump_val_generations(epoch, val_batches, generate_fn,
+                                              decode_fn)
         return self.state
+
+    def dump_val_generations(self, epoch: int,
+                             val_batches: Callable[[], Iterable[Dict]],
+                             generate_fn: Callable, decode_fn: Callable,
+                             split_name: str = "val",
+                             html_rows: int = 5) -> Dict[str, list]:
+        """Per-val-epoch caption QC artifacts — the reference's
+        "eyeball the generations each epoch" loop (runner_base.py:396-409
+        prediction/GT txt dumps; :431-450 wandb HTML sample table via
+        generate_html_table, :73-87).
+
+        Writes ``predictions/predictions_{split}.txt`` and
+        ``ground_truths/ground_truths_{split}.txt`` under output_dir (one
+        double-quoted caption per line — the reference's byte format) and
+        mirrors an HTML table of the first ``html_rows`` (epoch, predicted,
+        GT) rows to the gated wandb run when the logger carries one."""
+        preds, gts = [], []
+        for batch in val_batches():
+            ids = np.asarray(generate_fn(self.state.params, batch))
+            for row in ids:
+                preds.append(decode_fn(row))
+            for row in np.asarray(batch["text_ids"]):
+                gts.append(decode_fn(row))
+        out = Path(self.cfg.output_dir)
+        (out / "predictions").mkdir(parents=True, exist_ok=True)
+        (out / "ground_truths").mkdir(parents=True, exist_ok=True)
+        with open(out / "predictions" / f"predictions_{split_name}.txt",
+                  "w") as f:
+            for p in preds:
+                f.write('"' + p + '"\n')
+        with open(out / "ground_truths" / f"ground_truths_{split_name}.txt",
+                  "w") as f:
+            for g in gts:
+                f.write('"' + g + '"\n')
+        rows = [[str(epoch), p, g]
+                for p, g in list(zip(preds, gts))[:html_rows]]
+        html = generate_html_table(rows, ["Epoch", "Predicted", "GT"])
+        if getattr(self.logger, "wandb_run", None) is not None:
+            try:
+                import wandb
+                self.logger.wandb_run.log(
+                    {f"text_predictions_{split_name}": wandb.Html(html)})
+            except Exception:
+                pass
+        return {"predictions": preds, "ground_truths": gts}
 
     def train_iters(self, batches: Iterable[Dict],
                     iters_per_inner_epoch: int,
@@ -128,6 +183,22 @@ class Stage1Runner:
         for batch in val_batches():
             losses.append(float(eval_fn(self.state.params, batch, rng)))
         return float(np.mean(losses)) if losses else float("nan")
+
+
+def generate_html_table(data, columns) -> str:
+    """The reference's wandb sample-table builder (runner_base.py:73-87)."""
+    html = '<table border="1" cellpadding="5" cellspacing="0">'
+    html += "<tr>"
+    for col in columns:
+        html += f"<th>{col}</th>"
+    html += "</tr>"
+    for row in data:
+        html += "<tr>"
+        for cell in row:
+            html += f"<td>{cell}</td>"
+        html += "</tr>"
+    html += "</table>"
+    return html
 
 
 def precompute_embeddings(forward_image: Callable[[np.ndarray], np.ndarray],

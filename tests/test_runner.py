@@ -64,3 +64,30 @@ def test_precompute_embeddings(tmp_path):
     assert n == 2
     z = np.load(out)
     assert set(z.files) == {"d1", "d2"} and z["d1"].shape == (4, 16)
+
+
+def test_dump_val_generations(tmp_path):
+    """Per-val-epoch QC artifacts (runner_base.py:396-409,431-450): one
+    double-quoted caption per line in predictions/ + ground_truths/, pairs
+    aligned, HTML table rows capped."""
+    runner, batch, eval_fn = _setup(tmp_path)
+
+    def gen_fn(params, b):
+        # deterministic stand-in generator: echo the first 4 GT ids
+        return np.asarray(b["text_ids"])[:, :4]
+
+    decode = lambda row: " ".join(f"t{int(i)}" for i in row if int(i) > 3)
+    out = runner.dump_val_generations(
+        3, lambda: (batch() for _ in range(2)), gen_fn, decode, html_rows=2)
+    pred_f = tmp_path / "predictions" / "predictions_val.txt"
+    gt_f = tmp_path / "ground_truths" / "ground_truths_val.txt"
+    assert pred_f.exists() and gt_f.exists()
+    preds = pred_f.read_text().splitlines()
+    gts = gt_f.read_text().splitlines()
+    assert len(preds) == len(gts) == 4  # 2 batches x batch 2
+    # the reference's byte format: each line is the caption double-quoted
+    for line, cap in zip(preds, out["predictions"]):
+        assert line == '"' + cap + '"'
+    # the stand-in generator echoes a GT prefix -> every pred is a prefix
+    for p, g in zip(out["predictions"], out["ground_truths"]):
+        assert g.startswith(p)
