@@ -7,13 +7,17 @@ batch of matvecs — per-head MXU matmuls are latency-bound (measured
 ((L, B, S, H*D) int8, per-token-per-head scales (L, B, S, H)) so each
 (bs, H*D) block feeds the MXU with no relayout:
 
-  * scores: one int8 x int8 -> int32 MXU matmul
-        (bs, H*D) @ block_diag(q8)  -> (bs, H)
-    where block_diag(q8) is (H*D, H) with head h's 128 q values on block
-    row h — built in XLA per decode step (131KB/seq, DMA'd once per
-    sequence). The per-token k scale, per-head q scale and 1/sqrt(D) fold
-    in AFTER the matmul on the tiny (bs, H) result, so the VPU never
-    touches a K element.
+  * scores: one int8 x int8 -> int32 MXU matmul (NT contraction)
+        (bs, H*D) x block_diag(q8) (H, H*D)  -> (bs, H)
+    where block_diag(q8) has head h's 128 q values on row h at lanes
+    [h*D, (h+1)*D) — built IN-KERNEL from the flat (1, H*D) q row by a
+    sublane broadcast + the head-expansion mask (a lane-dense layout;
+    the earlier XLA-side s8[B, H*D, H] materialization put H=32 on the
+    minor dim and wasted 4x of every lane tile — 2.6 ms/step of fusion
+    plus ~0.9 ms/step of padded qbd DMA at batch 56, docs/PERF.md
+    per-op profile). The per-token k scale, per-head q scale and
+    1/sqrt(D) fold in AFTER the matmul on the tiny (bs, H) result, so
+    the VPU never touches a K element.
   * values: per-token v scales fold into the softmax weights
     (pv = p * v_scale, a (bs, H) op), V converts int8->bf16 (the only
     per-element VPU op left, 1 op/elem), then one bf16 MXU matmul
@@ -57,16 +61,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _process_block(k2d, ks_row, v2d, vs_row, valid, qbd, qs,
+def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
                    m_ref, l_ref, acc_ref, e_mask, scale):
     """One online-softmax accumulation over a KV block.
 
     k2d/v2d: (rows, H*D) int8; ks_row/vs_row: (rows, H) float scales;
-    valid: (rows, H) bool; qbd: (H*D, H) block-diagonal int8 q; qs: (1, H).
+    valid: (rows, H) bool; qbt: (H, H*D) block-diagonal int8 q (row c holds
+    head c's 128 q values at lanes [c*D, (c+1)*D), zeros elsewhere — built
+    IN-KERNEL from the flat q row, see _kernel); qs: (1, H).
     """
-    # ---- scores on the int8 MXU: (rows, H*D) @ (H*D, H) -> (rows, H) int32
+    # ---- scores on the int8 MXU, NT contraction over the H*D lanes:
+    #      (rows, H*D) x (H, H*D) -> (rows, H) int32
     scores = jax.lax.dot_general(
-        k2d, qbd, (((1,), (0,)), ((), ())),
+        k2d, qbt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32)
     # ks arrives bf16 (the cache stores bf16 scales to starve XLA's
     # remat-compression pass — see models/llama.py KVCache); fold in f32.
@@ -123,11 +130,11 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
     — the prefix bytes are DMA'd once (constant index map), not once per
     lane (decode/engine.py generate_shared_prefix, kv_int8 mode)."""
     if n0:
-        (qbd_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
+        (q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
          k0_ref, ks0_ref, v0_ref, vs0_ref,
          o_ref, m_ref, l_ref, acc_ref) = refs
     else:
-        (qbd_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
+        (q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
          o_ref, m_ref, l_ref, acc_ref) = refs
     s_i = pl.program_id(1)
     h, d = heads, head_dim
@@ -150,6 +157,17 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
     e_col_h = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
     e_mask = e_row == e_col_h
 
+    # block-diagonal q built IN-KERNEL: the flat (1, hd) q row broadcasts
+    # along sublanes to (h, hd) and E masks head c's lanes — a tiny VPU
+    # select. (Building this in XLA as s8[B, hd, h] cost 2.6 ms/step at
+    # batch 56: the minor dim h=32 wastes 4x of every lane tile, both in
+    # the fusion's writes and in the kernel's qbd DMAs — docs/PERF.md
+    # per-op profile.)
+    # (select in i32 then narrow: Mosaic crashes on an int8 select whose
+    # on-true operand is a (1, hd)->(h, hd) sublane broadcast)
+    qbt = jnp.where(e_mask, q8_ref[0].astype(jnp.int32),
+                    0).astype(jnp.int8)                      # (h, hd)
+
     if n0:
         p0 = lens_ref[5 * nb]
 
@@ -159,7 +177,7 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
             row = jax.lax.broadcasted_iota(jnp.int32, (p0p, h), 0)
             _process_block(k0_ref[0], ks0_ref[0][:, :h], v0_ref[0],
                            vs0_ref[0][:, :h],
-                           row < p0, qbd_ref[0], qs_ref[0],
+                           row < p0, qbt, qs_ref[0],
                            m_ref, l_ref, acc_ref, e_mask, scale)
 
     # Live-bound clamp: slots beyond this lane's last valid row can never
@@ -177,7 +195,7 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
                  | ((s_pos >= a2) & (s_pos <= b2)))
         # stored scales are lane-padded (..., SL >= h) — slice the live heads
         _process_block(k8_ref[0, 0], ks_ref[0, 0][:, :h], v8_ref[0, 0],
-                       vs_ref[0, 0][:, :h], valid, qbd_ref[0], qs_ref[0],
+                       vs_ref[0, 0][:, :h], valid, qbt, qs_ref[0],
                        m_ref, l_ref, acc_ref, e_mask, scale)
 
     @pl.when(s_i == pl.num_programs(1) - 1)
@@ -257,12 +275,18 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     li = layer_idx
     n0 = 1 if shared is not None else 0
 
-    # per-head symmetric int8 quantization of q + block-diagonal layout
+    # per-head symmetric int8 quantization of q, kept FLAT (B, hd): the
+    # block-diagonal expansion happens inside the kernel (a sublane
+    # broadcast + the E mask) — materializing s8[B, hd, h] here wasted 4x
+    # of every lane tile (h=32 minor dim) in both the XLA fusion and the
+    # per-lane kernel DMA (2.6 + ~0.9 ms/step at batch 56, per-op profile
+    # in docs/PERF.md).
     qf = q.astype(jnp.float32)
     qscale = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1), 1e-8) / 127.0  # (B,H)
     q8 = jnp.clip(jnp.round(qf / qscale[..., None]), -127, 127).astype(jnp.int8)
-    eye = (jnp.arange(hd)[:, None] // d) == jnp.arange(h)[None, :]
-    qbd = jnp.where(eye[None], q8.reshape(b, hd, 1), jnp.int8(0))  # (B,hd,h)
+    q8 = q8.reshape(b, 1, hd)  # (B, 1, hd): trailing block dims must equal
+    # the array dims (Pallas lane/sublane rule); the extra sublane padding
+    # on this 229KB array is noise next to the 7.3MB-per-layer it replaces
 
     if gen_intervals is None:
         assert prompt_pad is not None and step is not None
@@ -292,8 +316,8 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                            jnp.maximum(last_live, 0))
 
     in_specs = [
-        # qbd/qs index maps ignore s_i -> DMA'd once per sequence
-        pl.BlockSpec((1, hd, h), lambda bi, si, sc: (bi, 0, 0)),
+        # q8/qs index maps ignore s_i -> DMA'd once per sequence
+        pl.BlockSpec((1, 1, hd), lambda bi, si, sc: (bi, 0, 0)),
         pl.BlockSpec((1, 1, h), lambda bi, si, sc: (bi, 0, 0)),
         pl.BlockSpec((1, 1, bs, hd),
                      lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
@@ -304,7 +328,7 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         pl.BlockSpec((1, 1, bs, sl),
                      lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
     ]
-    operands = [qbd, qscale[:, None, :], k8, ks, v8, vs]
+    operands = [q8, qscale[:, None, :], k8, ks, v8, vs]
     if shared is not None:
         # PER-LAYER prefix arrays with a leading dummy axis (1, P0p, ...) —
         # the caller slices its stacked (L, ...) prefix outside the kernel
