@@ -34,6 +34,14 @@ def parse_args():
     p.add_argument("--output-dir", type=str, default="data_out")
     p.add_argument("--simulated_epochs", type=int, default=2)
     p.add_argument("--mock", action="store_true", default=False)
+    p.add_argument("--teacher", type=str, default="ring",
+                   choices=["ring", "batch"],
+                   help="teacher-LLM serving shape: 'ring' streams prompts "
+                        "through the continuous-batching RingBatcher "
+                        "(decode/continuous.py — the production teacher "
+                        "path; the reference loops its Vicuna-13B teacher "
+                        "one prompt at a time, create_data.py:305,379); "
+                        "'batch' uses the fixed-batch generate path")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
 
@@ -84,12 +92,20 @@ def main():
         print(f"wrote {len(rg)} RG examples -> {out}")
         return
 
-    # ---- INS mode: teacher LLM + synthesized tasks
+    # ---- INS mode: teacher LLM + synthesized tasks. The teacher serves
+    # through the repo's own decode stack (mock included: tiny shapes, same
+    # engines) — RingBatcher continuous batching at the eval batch width by
+    # default, the fixed-batch generate path with --teacher batch.
     pipe = RaDialogPipeline(PipelineConfig(mock=args.mock,
+                                           quantize=args.mock,
                                            vicuna_path=args.vicuna_path))
 
     def teacher(prompts):
-        return pipe.generate_texts(prompts, max_new_tokens=64 if args.mock else 256)
+        max_new = 64 if args.mock else 256
+        if args.teacher == "ring":
+            return pipe.generate_texts_ring(prompts, max_new_tokens=max_new,
+                                            lanes=12)
+        return pipe.generate_texts(prompts, max_new_tokens=max_new)
 
     splits = split_six_ways(len(records), rng)
     tasks = []

@@ -393,6 +393,48 @@ class RaDialogPipeline:
             out.append(p + " " + text)
         return out
 
+    def generate_texts_ring(self, prompts: Sequence[str],
+                            max_new_tokens: Optional[int] = None,
+                            lanes: int = 12,
+                            steps_per_call: int = 4) -> List[str]:
+        """generate_texts through the CONTINUOUS-BATCHING ring
+        (decode/continuous.RingBatcher) instead of one fixed-batch
+        executable — the teacher-LLM serving shape for instruct-data
+        generation (the reference drives its Vicuna-13B teacher one prompt
+        at a time inside a DataLoader loop, create_data.py:305,379-400;
+        here requests of wildly different prompt lengths stream through a
+        shared ring at eval batch width, test.py:279). Same greedy
+        numerics as generate_texts; ordering of outputs matches
+        ``prompts``."""
+        from ..decode.continuous import RingBatcher
+        ids = [self.tokenizer(p)["input_ids"] for p in prompts]
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        tpad = max(-(-max(len(x) for x in ids) // 32) * 32, 32)
+        # ring must exceed a session's chunk-rounded span (continuous.py)
+        ring = (-(-max(max_new - 1, 1) // steps_per_call) * steps_per_call
+                + steps_per_call)
+        ring = max(-(-ring // 32) * 32, 64)
+        dp = DecodeParams(max_new_tokens=max_new,
+                          eos_token_id=self.tokenizer.eos_token_id,
+                          seed=self.cfg.seed)
+        rb = RingBatcher(self.llama, self.llama_cfg,
+                         lanes=min(lanes, len(ids)),
+                         cache_len=tpad + ring, prompt_len=tpad, dp=dp,
+                         lora=self.lora, policy=self.policy,
+                         steps_per_call=steps_per_call,
+                         kv_int8=self.cfg.use_kv_int8())
+        sids = [rb.submit(x) for x in ids]
+        done = rb.run()
+        out = []
+        for p, sid in zip(prompts, sids):
+            toks = done[sid].tokens
+            if self.tokenizer.eos_token_id in toks:
+                toks = toks[:toks.index(self.tokenizer.eos_token_id) + 1]
+            text = self.tokenizer.decode(np.asarray(toks, np.int32),
+                                         skip_special_tokens=True)
+            out.append(p + " " + text)
+        return out
+
 
 def _pad_id(tok) -> int:
     pid = getattr(tok, "pad_token_id", None)

@@ -62,13 +62,14 @@ NEG_INF = -1e30
 
 
 def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
-                   m_ref, l_ref, acc_ref, e_mask, scale):
+                   m_ref, l_ref, acc_ref, ef, scale):
     """One online-softmax accumulation over a KV block.
 
     k2d/v2d: (rows, H*D) int8; ks_row/vs_row: (rows, H) float scales;
     valid: (rows, H) bool; qbt: (H, H*D) block-diagonal int8 q (row c holds
     head c's 128 q values at lanes [c*D, (c+1)*D), zeros elsewhere — built
-    IN-KERNEL from the flat q row, see _kernel); qs: (1, H).
+    ONCE PER LANE into VMEM scratch, see _kernel); qs: (1, H);
+    ef: (H, H*D) f32 head-expansion mask (E[c, j] = j//D == c, also scratch).
     """
     # ---- scores on the int8 MXU, NT contraction over the H*D lanes:
     #      (rows, H*D) x (H, H*D) -> (rows, H) int32
@@ -95,13 +96,12 @@ def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
     mat = jax.lax.dot_general(
         pv, vbf, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)   # (H, H*D)
-    block_o = jnp.sum(jnp.where(e_mask, mat, 0.0),
-                      axis=0, keepdims=True)  # (1, H*D) flat per-head output
+    block_o = jnp.sum(mat * ef, axis=0, keepdims=True)  # (1, H*D) per-head
     # (1, H) -> (1, H*D) lane broadcast via MXU: alpha @ E. f32, like the
     # _finish inv_l path — the denominator l is rescaled with f32 alpha, so
     # a bf16 numerator rescale would drift ~0.4% relative per KV block.
     alpha_exp = jax.lax.dot_general(
-        alpha, e_mask.astype(jnp.float32),
+        alpha, ef,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha_exp + block_o
 
@@ -132,10 +132,10 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
     if n0:
         (q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
          k0_ref, ks0_ref, v0_ref, vs0_ref,
-         o_ref, m_ref, l_ref, acc_ref) = refs
+         o_ref, m_ref, l_ref, acc_ref, qbt_ref, ef_ref) = refs
     else:
         (q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
-         o_ref, m_ref, l_ref, acc_ref) = refs
+         o_ref, m_ref, l_ref, acc_ref, qbt_ref, ef_ref) = refs
     s_i = pl.program_id(1)
     h, d = heads, head_dim
     hd = h * d
@@ -145,28 +145,25 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        # Per-lane scratch builds (s is the inner grid dim, so s_i == 0 runs
+        # once per lane): the head-expansion mask E[c, j] = (j // d == c)
+        # and the block-diagonal q — the flat (1, hd) q row broadcast along
+        # sublanes, masked by E. Building once per lane instead of every
+        # grid step drops ~5 VPU passes over (h, hd) per KV block. (The i32
+        # select: Mosaic crashes on an int8 select whose on-true operand is
+        # a sublane broadcast.)
+        e_row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+        e_col_h = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
+        e_mask = e_row == e_col_h
+        ef_ref[:] = e_mask.astype(jnp.float32)
+        qbt_ref[:] = jnp.where(e_mask, q8_ref[0].astype(jnp.int32),
+                               0).astype(jnp.int8)           # (h, hd)
 
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     length = lens_ref[b]
     a1, b1 = lens_ref[nb + b], lens_ref[2 * nb + b]
     a2, b2 = lens_ref[3 * nb + b], lens_ref[4 * nb + b]
-
-    # head-expansion mask E (h, hd): E[c, j] = (j // d == c)
-    e_row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
-    e_col_h = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
-    e_mask = e_row == e_col_h
-
-    # block-diagonal q built IN-KERNEL: the flat (1, hd) q row broadcasts
-    # along sublanes to (h, hd) and E masks head c's lanes — a tiny VPU
-    # select. (Building this in XLA as s8[B, hd, h] cost 2.6 ms/step at
-    # batch 56: the minor dim h=32 wastes 4x of every lane tile, both in
-    # the fusion's writes and in the kernel's qbd DMAs — docs/PERF.md
-    # per-op profile.)
-    # (select in i32 then narrow: Mosaic crashes on an int8 select whose
-    # on-true operand is a (1, hd)->(h, hd) sublane broadcast)
-    qbt = jnp.where(e_mask, q8_ref[0].astype(jnp.int32),
-                    0).astype(jnp.int8)                      # (h, hd)
 
     if n0:
         p0 = lens_ref[5 * nb]
@@ -177,8 +174,8 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
             row = jax.lax.broadcasted_iota(jnp.int32, (p0p, h), 0)
             _process_block(k0_ref[0], ks0_ref[0][:, :h], v0_ref[0],
                            vs0_ref[0][:, :h],
-                           row < p0, qbt, qs_ref[0],
-                           m_ref, l_ref, acc_ref, e_mask, scale)
+                           row < p0, qbt_ref[:], qs_ref[0],
+                           m_ref, l_ref, acc_ref, ef_ref[:], scale)
 
     # Live-bound clamp: slots beyond this lane's last valid row can never
     # contribute, so later blocks are DEAD — their index maps clamp to the
@@ -195,15 +192,15 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
                  | ((s_pos >= a2) & (s_pos <= b2)))
         # stored scales are lane-padded (..., SL >= h) — slice the live heads
         _process_block(k8_ref[0, 0], ks_ref[0, 0][:, :h], v8_ref[0, 0],
-                       vs_ref[0, 0][:, :h], valid, qbt, qs_ref[0],
-                       m_ref, l_ref, acc_ref, e_mask, scale)
+                       vs_ref[0, 0][:, :h], valid, qbt_ref[:], qs_ref[0],
+                       m_ref, l_ref, acc_ref, ef_ref[:], scale)
 
     @pl.when(s_i == pl.num_programs(1) - 1)
     def _finish():
         # broadcast 1/l to lanes through the same E matmul (f32 for accuracy)
         inv_l = 1.0 / jnp.maximum(l_ref[:], 1e-30)          # (1, H)
         inv_exp = jax.lax.dot_general(
-            inv_l, e_mask.astype(jnp.float32),
+            inv_l, ef_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         o_ref[0] = (acc_ref[:] * inv_exp).astype(o_ref.dtype)
 
@@ -363,6 +360,8 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                 pltpu.VMEM((1, h), jnp.float32),
                 pltpu.VMEM((1, h), jnp.float32),
                 pltpu.VMEM((1, hd), jnp.float32),
+                pltpu.VMEM((h, hd), jnp.int8),      # per-lane block-diag q
+                pltpu.VMEM((h, hd), jnp.float32),   # head-expansion mask E
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),

@@ -168,3 +168,20 @@ def test_pipeline_kv_int8_serving():
     import pytest
     with pytest.raises(ValueError, match="kv_int8"):
         PipelineConfig(mock=True, kv_int8=True).use_kv_int8()
+
+
+def test_generate_texts_ring_matches_batch(pipe):
+    """The ring-served teacher path (create_data.py --teacher ring) produces
+    the same greedy continuations as the fixed-batch generate path —
+    continuous batching only reorganizes WHEN lanes decode, not what."""
+    prompts = ["USER: first report please ASSISTANT:",
+               "USER: b ASSISTANT:",
+               "USER: a much longer third prompt with more tokens ASSISTANT:"]
+    batch = pipe.generate_texts(prompts, max_new_tokens=6)
+    ring = pipe.generate_texts_ring(prompts, max_new_tokens=6, lanes=2,
+                                    steps_per_call=2)
+    assert len(ring) == 3 and all(r.startswith(p)
+                                  for r, p in zip(ring, prompts))
+    # bf16-exactness caveat does not apply: the mock pipeline runs fp32
+    # stacked weights, where ring and batch decode are token-identical
+    assert ring == batch
