@@ -29,6 +29,10 @@ def parse_args():
                    help="prompt-lookup speculative decoding for replies "
                         "(token-identical, faster on correction/QA turns — "
                         "decode/speculative.py)")
+    p.add_argument("--warmup", action="store_true", default=False,
+                   help="precompile the chat decode path at boot so the "
+                        "first user turn pays no compile wall (seconds with "
+                        ".jax_cache/ populated; docs/PERF.md 'Cold start')")
     return p.parse_args()
 
 
@@ -169,6 +173,10 @@ def main():
     np.random.seed(16)
     args = parse_args()
     session = build_session(args)
+    if args.warmup:
+        spent = session.warmup()
+        print(f"(warmup: decode path precompiled in {spent:.1f}s)",
+              file=sys.stderr)
     if args.cli:
         cli_loop(session)
     else:

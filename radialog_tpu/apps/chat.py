@@ -65,6 +65,29 @@ class ChatSession:
         if self.session is not None:
             self.session.reset()
 
+    def warmup(self, turn_lengths=(16, 128)) -> float:
+        """Boot-time precompile of the chat decode path (demo.py --warmup).
+
+        Builds the exact DecodeParams the steady-state turns use (cap-length
+        greedy; the spec loop too when speculative) and runs the session's
+        throwaway warmup conversation, so the first user's turn pays decode
+        latency only — not the cold compile wall (docs/PERF.md "Cold
+        start"). No-op (0.0) without a prefix-cache session. Returns
+        seconds spent."""
+        if self.session is None:
+            return 0.0
+        from ..decode.engine import DecodeParams
+        tok = self.pipe.tokenizer
+        cap = self.pipe.cfg.max_new_tokens or 300
+        max_new = max(1, min(cap, self.session.cache_len - 1
+                             - (self.spec_k + 1 if self.speculative else 0)))
+        dp = DecodeParams(max_new_tokens=max_new,
+                          eos_token_id=tok.eos_token_id,
+                          seed=self.pipe.cfg.seed)
+        return self.session.warmup(
+            dp, turn_lengths=turn_lengths,
+            spec_k=self.spec_k if self.speculative else 0)
+
     # ---------------------------------------------------------------- image
     def load_image(self, path: str) -> Tuple[str, Optional[str]]:
         """Image upload turn (demo.py:248-276): classify findings, embed the

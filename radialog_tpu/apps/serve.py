@@ -113,6 +113,28 @@ class RaDialogServer:
         """Blocking convenience wrapper."""
         return self.submit(prompt_ids, img_embs, max_new_tokens).result(timeout)
 
+    def warmup(self, prompt_buckets=(32,), token_id: int = 0,
+               timeout: Optional[float] = None) -> float:
+        """Precompile the serving executables BEFORE the first real request.
+
+        Boot-time ops concern (docs/PERF.md "Cold start"): the first
+        request of a fresh process otherwise pays the decode-step + prefill
+        compiles (minutes cold, seconds with `.jax_cache/` populated)
+        inside its own latency. One throwaway session per prompt bucket
+        compiles the shared step_fn once and prefill_fn per 32-token
+        bucket; the ring lanes it used are freed when the session
+        finishes. Returns seconds spent (= the compile wall moved out of
+        the first user's request)."""
+        import time
+        t0 = time.time()
+        chunk = getattr(self._rb, "steps_per_call", 1)
+        futs = [self.submit([token_id] * max(1, int(b)),
+                            max_new_tokens=chunk)
+                for b in prompt_buckets]
+        for f in futs:
+            f.result(timeout)
+        return time.time() - t0
+
     def shutdown(self, timeout: float = 60.0) -> None:
         """Finish in-flight sessions, then stop the stepper."""
         with self._work:

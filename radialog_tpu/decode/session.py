@@ -109,6 +109,35 @@ class InteractiveSession:
     def remaining(self) -> int:
         return self.cache_len - self.cur_len
 
+    def warmup(self, dp: DecodeParams, turn_lengths=(16,),
+               spec_k: int = 0, token_id: int = 0) -> float:
+        """Precompile this session's jit entries at boot, then reset.
+
+        Runs a throwaway conversation: one incremental prefill per 16-token
+        bucket in ``turn_lengths`` (the prefill executable is shape-keyed on
+        the bucketed turn length) + one decode with ``dp`` (shape-keyed on
+        dp alone — cur_len is traced, so every later turn of every
+        conversation reuses it); spec_k > 0 also builds the speculative
+        loop. Moves the cold compile wall (~7 min at 7B uncached; seconds
+        with `.jax_cache/`) out of the first user's turn — the reference's
+        HF generate() has no compile wall but re-pays kernel-launch
+        overhead per call. Measured boot numbers: docs/PERF.md "Cold
+        start". Returns seconds spent. Call on a FRESH session (it resets)."""
+        import time
+        t0 = time.time()
+        if self.cur_len:
+            self.reset()
+        for tl in turn_lengths:
+            self.reset()
+            self.append_tokens([token_id] * max(1, int(tl)))
+            if spec_k > 0:
+                self.generate_spec(dp, k=spec_k)
+                self.reset()
+                self.append_tokens([token_id] * max(1, int(tl)))
+            self.generate(dp)
+        self.reset()
+        return time.time() - t0
+
     def append_tokens(self, ids: List[int],
                       img_embs: Optional[jax.Array] = None) -> None:
         """Feed new prompt tokens (a full first prompt, or a later turn's

@@ -185,3 +185,17 @@ def test_generate_texts_ring_matches_batch(pipe):
     # bf16-exactness caveat does not apply: the mock pipeline runs fp32
     # stacked weights, where ring and batch decode are token-identical
     assert ring == batch
+
+
+def test_chat_session_warmup_then_first_turn(pipe):
+    """demo.py --warmup: boot precompile leaves the session pristine and the
+    first real turn matches an un-warmed session's (greedy determinism)."""
+    cold = ChatSession(pipe, gen_report=True, cache_len=512)
+    warm = ChatSession(pipe, gen_report=True, cache_len=512)
+    spent = warm.warmup(turn_lengths=(16,))
+    assert spent > 0
+    assert warm.session.cur_len == 0 and warm.conv.messages == []
+    q = "Hello, what can you do?"
+    assert warm.ask(q) == cold.ask(q)
+    # no prefix-cache session: warmup is a documented no-op
+    assert ChatSession(pipe, prefix_cache=False).warmup() == 0.0

@@ -199,3 +199,19 @@ def test_raising_stream_callback_still_gets_final_done():
     assert events[0][1] is False or len(events) == 1
     assert events[-1] == ([], True)             # the promised final call
     assert len(events) == 2                     # dropped after the failure
+
+
+def test_server_warmup_then_serves():
+    params = llama_init(jax.random.PRNGKey(0), CFG)
+    from radialog_tpu.decode.engine import DecodeParams
+    srv = RaDialogServer(params, CFG, lanes=2, cache_len=96, prompt_len=32,
+                         dp=DecodeParams(max_new_tokens=5, eos_token_id=1),
+                         steps_per_call=2)
+    try:
+        spent = srv.warmup(prompt_buckets=(32,))
+        assert spent > 0
+        out = srv.generate([int(x) for x in np.random.default_rng(0)
+                            .integers(3, 200, 7)])
+        assert len(out) >= 1
+    finally:
+        srv.shutdown()

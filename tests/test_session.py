@@ -143,3 +143,15 @@ def test_reset():
     sess.reset()
     sess.append_tokens([5, 6, 7])
     assert sess.generate(dp) == g1
+
+
+def test_warmup_precompiles_then_resets():
+    params = llama_init(jax.random.PRNGKey(0), CFG)
+    dp = DecodeParams(max_new_tokens=4, eos_token_id=1)
+    sess = InteractiveSession(params, CFG, cache_len=128)
+    spent = sess.warmup(dp, turn_lengths=(16,), spec_k=2)
+    assert spent > 0 and sess.cur_len == 0 and sess.token_ids == []
+    # the session still produces correct turns after warmup
+    p1 = [int(x) for x in RNG.integers(3, 200, 7)]
+    sess.append_tokens(p1)
+    assert sess.generate(dp) == _monolithic(params, p1, dp)
