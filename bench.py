@@ -123,7 +123,11 @@ def build_serving_params(cfg, key, bits: int = 8):
                        0x21, jnp.int8)                 # nibbles 2|1
         gscale = jnp.full((kp // GROUP, npad), k_dim ** -0.5 / 7.0,
                           jnp.float32)
-        return PackedQ4(w_t, gscale, n_dim, GROUP)
+        # production packs are asymmetric (pack_q4 mode="asym"): carry a
+        # goff so the bench runs the same kernel variant (per-group row-sum
+        # + rank-1 update) the real serving path dispatches
+        goff = jnp.full((kp // GROUP, npad), 1e-6, jnp.float32)
+        return PackedQ4(w_t, gscale, n_dim, GROUP, None, goff)
 
     qleaf = qleaf8 if bits == 8 else (lambda layers, k, n: qleaf4(k, n))
 

@@ -13,6 +13,7 @@ serving path. Quality: symmetric per-channel weight-only int8 is lossless to
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -127,7 +128,8 @@ def quantize_weight_np(w) -> Dict[str, Any]:
 
 def quantize_llama_host(params: Dict, device=None,
                         quantize_embed: bool = True,
-                        fuse: bool = True, bits: int = 8) -> Dict:
+                        fuse: bool = True, bits: int = 8,
+                        w4_mode: str = "asym") -> Dict:
     """quantize_llama on host arrays into the SERVING layout.
 
     Each projection becomes a PackedQ8 (pre-tiled contiguous int8,
@@ -149,7 +151,13 @@ def quantize_llama_host(params: Dict, device=None,
 
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
-    pack_layer = pack_q4 if bits == 4 else pack_q8
+    if bits == 4:
+        # w4_mode="asym" (default) = MSE-optimal clipped asymmetric grids;
+        # "sym" reproduces the round-3 symmetric absmax quality baseline
+        # (tools/measure_quant.py --w4-mode sweeps both)
+        pack_layer = functools.partial(pack_q4, mode=w4_mode)
+    else:
+        pack_layer = pack_q8
 
     def put(x, dtype=None):
         x = jnp.asarray(np.asarray(x), dtype) if dtype else jnp.asarray(np.asarray(x))
@@ -158,7 +166,8 @@ def quantize_llama_host(params: Dict, device=None,
     def put_packed(p):
         if isinstance(p, PackedQ4):
             return PackedQ4(put(p.w_t), put(p.gscale), p.n, p.group,
-                            None if p.b is None else put(p.b))
+                            None if p.b is None else put(p.b),
+                            None if p.goff is None else put(p.goff))
         return PackedQ8(put(p.w_t), put(p.scale), p.n,
                         None if p.b is None else put(p.b))
 

@@ -143,9 +143,14 @@ def shard_quantized_llama(params: Dict, cfg: LlamaConfig, n_shards: int,
             b = None
             if packs[0].b is not None:
                 b = put(np.stack([np.asarray(p.b) for p in packs]))
-            g = PackedQ4(w_t, gscale, packs[0].n, packs[0].group, b)
+            goff = None
+            if packs[0].goff is not None:
+                goff = put(np.stack([np.asarray(p.goff) for p in packs]))
+            g = PackedQ4(w_t, gscale, packs[0].n, packs[0].group, b, goff)
             spec = PackedQ4(P(MODEL_AXIS), P(MODEL_AXIS), packs[0].n,
-                            packs[0].group, None if b is None else P(MODEL_AXIS))
+                            packs[0].group,
+                            None if b is None else P(MODEL_AXIS),
+                            None if goff is None else P(MODEL_AXIS))
             return g, spec
         w_t = put(np.stack([np.asarray(p.w_t) for p in packs]))
         scale = put(np.stack([np.asarray(p.scale) for p in packs]))

@@ -10,20 +10,47 @@ from radialog_tpu.ops.q4_matmul import (PackedQ4, pack_q4, q4_matmul_packed,
 RNG = np.random.default_rng(0)
 
 
-def test_pack_q4_roundtrip():
-    """Nibble pack/unpack + group scales reconstruct the quantized grid."""
-    w = RNG.normal(scale=0.02, size=(96, 64)).astype(np.float32)
-    p = pack_q4(w, bn=64, bk=32)
+def _unpack(p):
     kt, nt, bk2, bn = p.w_t.shape
-    assert (kt, nt, bk2, bn) == (3, 1, 16, 64)
-    assert p.gscale.shape == (3, 64)
     flat = p.w_t.transpose(0, 2, 1, 3).reshape(kt * bk2, nt * bn)
     lo = ((flat.astype(np.int32) & 15) ^ 8) - 8
     hi = flat.astype(np.int32) >> 4
-    w_q = np.stack([lo, hi], 1).reshape(kt, bk2 * 2, nt * bn)
+    return np.stack([lo, hi], 1).reshape(kt * bk2 * 2, nt * bn)
+
+
+def test_pack_q4_roundtrip():
+    """Nibble pack/unpack + group scales reconstruct the quantized grid
+    (mode='sym' pins the round-3 symmetric grid the nibble format was
+    designed around)."""
+    w = RNG.normal(scale=0.02, size=(96, 64)).astype(np.float32)
+    p = pack_q4(w, bn=64, bk=32, mode="sym")
+    kt, nt, bk2, bn = p.w_t.shape
+    assert (kt, nt, bk2, bn) == (3, 1, 16, 64)
+    assert p.gscale.shape == (3, 64)
+    assert p.goff is None
+    w_q = _unpack(p).reshape(3, 32, 64)
     back = w_q * p.gscale[:, None, :]
     rel = np.abs(back.reshape(96, 64) - w).max() / np.abs(w).max()
     assert rel < 0.08, rel  # 15-level symmetric, group 32
+
+
+def test_pack_q4_asym_roundtrip_beats_sym():
+    """Default (asym) grid: dequant = s*q + m reconstructs with LOWER RMSE
+    than the symmetric absmax grid — the round-4 quality fix (MSE-optimal
+    clip search + all 16 codes + per-group zero point)."""
+    w = RNG.normal(scale=0.02, size=(256, 64)).astype(np.float32)
+    pa = pack_q4(w, bn=64, bk=64)           # default mode="asym"
+    ps = pack_q4(w, bn=64, bk=64, mode="sym")
+    assert pa.goff is not None and pa.gscale.shape == pa.goff.shape
+    qa = _unpack(pa).reshape(4, 64, 64)
+    back_a = qa * pa.gscale[:, None, :] + pa.goff[:, None, :]
+    qs = _unpack(ps).reshape(4, 64, 64)
+    back_s = qs * ps.gscale[:, None, :]
+    rmse = lambda b: float(np.sqrt(np.mean(  # noqa: E731
+        (b.reshape(256, 64) - w) ** 2)))
+    assert rmse(back_a) < 0.85 * rmse(back_s), (rmse(back_a), rmse(back_s))
+    # all 16 codes are reachable (the sym grid never emits -8)
+    assert qa.min() == -8
 
 
 def test_reference_close_to_float():

@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--tokens", type=int, default=50)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--w4-mode", default="asym", choices=["asym", "sym", "both"],
+                    help="int4 grid: asym = round-4 MSE-optimal clipped "
+                         "asymmetric default; sym = round-3 symmetric absmax "
+                         "baseline; both = print a row per grid")
     args = ap.parse_args()
 
     import jax
@@ -56,8 +60,11 @@ def main() -> None:
     dp = DecodeParams(max_new_tokens=args.tokens, eos_token_id=-1)
     cache_len = args.prompt_len + args.tokens + 14
 
-    agree = {"w8a8": [], "w4a8": []}
-    logit_err = {"bf16": [], "w8a8": [], "w4a8": []}
+    w4_modes = (["asym", "sym"] if args.w4_mode == "both"
+                else [args.w4_mode])
+    modes = [("w8a8", 8, None)] + [(f"w4a8-{m}", 4, m) for m in w4_modes]
+    agree = {name: [] for name, _, _ in modes}
+    logit_err = {"bf16": [], **{name: [] for name, _, _ in modes}}
     for seed in range(args.seeds):
         params32 = llama_init(jax.random.PRNGKey(seed), cfg)  # fp32 oracle
         host = jax.tree_util.tree_map(np.asarray, params32)
@@ -88,8 +95,9 @@ def main() -> None:
         # ---- greedy agreement vs bf16 (context for the round-1 kv metric)
         ref = np.asarray(generate(params, cfg, toks, lens, dp, policy=BF16,
                                   cache_len=cache_len).tokens)
-        for mode, bits in (("w8a8", 8), ("w4a8", 4)):
-            qp = quantize_llama_host(host, bits=bits)
+        for mode, bits, w4m in modes:
+            qp = quantize_llama_host(host, bits=bits,
+                                     w4_mode=w4m or "asym")
             logit_err[mode].append(
                 float(np.abs(last_logits(qp, BF16) - oracle).mean() / scale))
             got = np.asarray(generate(qp, cfg, toks, lens, dp, policy=BF16,
@@ -98,7 +106,7 @@ def main() -> None:
             del qp
         del params, params32, host
 
-    for mode in ("bf16", "w8a8", "w4a8"):
+    for mode in logit_err:
         out = {
             "mode": mode,
             "hidden": cfg.hidden_size, "heads": cfg.num_heads,
