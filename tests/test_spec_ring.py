@@ -1,0 +1,124 @@
+"""Batched speculative decoding on the static-slot ring: ragged per-lane
+acceptance via validity marks must stay token-identical to plain greedy
+(fp32 CPU — no float-associativity argmax flips)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radialog_tpu.decode.continuous import RingBatcher
+from radialog_tpu.decode.engine import DecodeParams, generate
+from radialog_tpu.decode.spec_ring import SpecRingBatcher
+from radialog_tpu.models.llama import TINY_LLAMA, llama_init
+
+CFG = TINY_LLAMA
+PARAMS = llama_init(jax.random.PRNGKey(0), CFG)
+DP = DecodeParams(max_new_tokens=8, eos_token_id=1)
+
+
+def _prompt(n, seed):
+    return [int(x) for x in np.random.default_rng(seed).integers(3, 200, n)]
+
+
+def _serial(prompt_ids, max_new=8):
+    toks = jnp.asarray(prompt_ids, jnp.int32)[None]
+    lens = jnp.asarray([len(prompt_ids)])
+    out = generate(PARAMS, CFG, toks, lens,
+                   DecodeParams(max_new_tokens=max_new, eos_token_id=1),
+                   cache_len=128)
+    n = int(out.lengths[0])
+    return [int(x) for x in np.asarray(out.tokens)[0, :n]]
+
+
+def _spec_ring(**kw):
+    # ring 64 (multiple of k+1=4) holds the worst case: 8 verifies x 4 slots
+    kw.setdefault("lanes", 2)
+    kw.setdefault("cache_len", 96)
+    kw.setdefault("prompt_len", 32)
+    kw.setdefault("dp", DP)
+    kw.setdefault("spec_k", 3)
+    kw.setdefault("steps_per_call", 2)
+    return SpecRingBatcher(PARAMS, CFG, **kw)
+
+
+class TestSpecRing:
+    def test_staggered_sessions_match_serial(self):
+        """Three sessions with different prompts/acceptance patterns share
+        the speculative verify loop; each matches solo greedy generate."""
+        rb = _spec_ring()
+        prompts = [_prompt(6, 1), _prompt(9, 2), _prompt(4, 3)]
+        sids = [rb.submit(prompts[0])]
+        rb.step()
+        sids.append(rb.submit(prompts[1]))     # staggered arrival
+        sids.append(rb.submit(prompts[2]))     # 2 lanes: queues
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        for sid, prompt in zip(sids, prompts):
+            expect = _serial(prompt)
+            assert finished[sid].tokens == expect, (
+                f"sid {sid}: {finished[sid].tokens} != {expect}")
+        assert rb.verifies > 0
+
+    def test_repetitive_prompt_accepts_drafts(self):
+        """A prompt whose continuation echoes itself (the prompt-lookup
+        sweet spot) must finish in FEWER verify forwards than tokens —
+        the whole point of speculation — while staying greedy-exact."""
+        base = _prompt(5, 40)
+        prompt = base * 4                      # strong n-gram structure
+        dp = DecodeParams(max_new_tokens=12, eos_token_id=1)
+        rb = SpecRingBatcher(PARAMS, CFG, lanes=1, cache_len=128,
+                             prompt_len=32, dp=dp, spec_k=3,
+                             steps_per_call=1)
+        sid = rb.submit(prompt)
+        finished = rb.run()
+        got = finished[sid].tokens
+        assert got == _serial(prompt, 12)
+        emitted = len(got)
+        assert rb.verifies < emitted, (rb.verifies, emitted)
+
+    def test_matches_plain_ring_batcher(self):
+        """Spec ring == plain ring token-for-token on the same workload."""
+        prompts = [_prompt(7, 5), _prompt(5, 6)]
+        plain = RingBatcher(PARAMS, CFG, lanes=2, cache_len=96,
+                            prompt_len=32, dp=DP, steps_per_call=2)
+        spec = _spec_ring()
+        out_p = {prompts.index(p): None for p in prompts}
+        sp = [plain.submit(p) for p in prompts]
+        ss = [spec.submit(p) for p in prompts]
+        fp, fs = plain.run(), spec.run()
+        for i in range(len(prompts)):
+            assert fp[sp[i]].tokens == fs[ss[i]].tokens
+
+    def test_quantized_serving_layout_runs(self):
+        """Plumbing: the unrolled int8 serving weights verify through the
+        same contiguous scalar-slot window write."""
+        from radialog_tpu.ops.quant import quantize_llama_host
+        qp = quantize_llama_host(
+            jax.tree_util.tree_map(np.asarray, PARAMS))
+        rb = SpecRingBatcher(qp, CFG, lanes=2, cache_len=96, prompt_len=32,
+                             dp=DP, spec_k=3, steps_per_call=2)
+        sids = [rb.submit(_prompt(6, 7)), rb.submit(_prompt(8, 8))]
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        assert all(len(finished[s].tokens) >= 1 for s in sids)
+        # first token == the no-spec quantized ring's first token (the
+        # prefill path is shared; full-sequence equality on RANDOM weights
+        # is not asserted for int8 — ulp-level logit ties flip argmaxes)
+        plain = RingBatcher(qp, CFG, lanes=2, cache_len=96, prompt_len=32,
+                            dp=DP, steps_per_call=2)
+        p0 = plain.submit(_prompt(6, 7))
+        assert plain.run()[p0].tokens[0] == finished[sids[0]].tokens[0]
+
+    def test_guards(self):
+        with pytest.raises(ValueError, match="two-interval|int8"):
+            _spec_ring(kv_int8=True)
+        with pytest.raises(ValueError, match="multiple"):
+            _spec_ring(cache_len=95)           # ring 63 % 4 != 0
+        with pytest.raises(ValueError, match="wrap onto live"):
+            _spec_ring(cache_len=48)           # ring 16 < 8 verifies * 4
+        rb = _spec_ring()
+        with pytest.raises(ValueError, match="verifies"):
+            rb.validate_request(8, max_new_tokens=60)
+        with pytest.raises(ValueError, match="greedy"):
+            _spec_ring(dp=DecodeParams(max_new_tokens=8, eos_token_id=1,
+                                       do_sample=True))
