@@ -76,7 +76,13 @@ class SpecRingBatcher(RingBatcher):
                  dp: DecodeParams = DecodeParams(),
                  lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
                  steps_per_call: int = 1, donate_cache: bool = True,
-                 kv_int8: bool = False, spec_k: int = 4, spec_m: int = 3):
+                 kv_int8: bool = False, spec_k: int = 4, spec_m: int = 3,
+                 proposer=None):
+        # proposer(hist (Hmax,), hist_len ()) -> (k,) drafts for ONE lane
+        # (vmapped inside the step). Default prompt-lookup; the bench tool
+        # injects oracle/junk proposers to bound acceptance honestly
+        # (tools/bench_spec_ring.py, same protocol as bench_spec.py).
+        self._proposer = proposer
         if kv_int8:
             raise ValueError(
                 "batched speculation needs the dense validity mask; the int8"
@@ -137,6 +143,8 @@ class SpecRingBatcher(RingBatcher):
         kp1 = k + 1
         eos = self.dp.eos_token_id
         NEG = -1e30
+        proposer = (self._proposer if self._proposer is not None
+                    else partial(ngram_propose, k=k, m=m))
 
         @partial(jax.jit, donate_argnums=(2, 3, 4) if donate else ())
         def spec_step_fn(params, lora, cache, valid, hist, hist_lens,
@@ -147,8 +155,7 @@ class SpecRingBatcher(RingBatcher):
                 cache, valid, hist, hist_lens, last_tok, cur_lens = carry
                 slot = prompt_len + jax.lax.rem(ring_base + i * kp1, ring_len)
                 # per-lane prompt-lookup drafts from the device histories
-                drafts = jax.vmap(
-                    partial(ngram_propose, k=k, m=m))(hist, hist_lens)
+                drafts = jax.vmap(proposer)(hist, hist_lens)
                 block = jnp.concatenate([last_tok[:, None], drafts], axis=1)
                 positions = cur_lens[:, None] + jnp.arange(kp1)[None]
                 # committed validity broadcast over the kp1 queries + the
