@@ -323,7 +323,11 @@ def q4_matmul_reference(x: jax.Array, packed: PackedQ4,
                   * packed.gscale[:, None, :].astype(jnp.float32), axis=0)
     if packed.goff is not None:
         # asymmetric grid: fold the per-group dequant offset exactly —
-        # sum_k x8_k * m_gn, same f32 per-group accumulation as the kernel
+        # sum_k x8_k * m_gn, same f32 per-group accumulation as the kernel.
+        # HIGHEST precision: the TPU MXU's default f32 matmul rounds inputs
+        # to bf16, while the kernel's rank-1 VPU update is true f32 — the
+        # default-precision dot measured 1.3e-3 max rel vs the kernel.
         gsum = jnp.sum(xg, axis=2).astype(jnp.float32)     # (m, kp/g)
-        acc = acc + gsum @ packed.goff.astype(jnp.float32)
+        acc = acc + jax.lax.dot(gsum, packed.goff.astype(jnp.float32),
+                                precision=jax.lax.Precision.HIGHEST)
     return _finish(acc, xs, packed, lead, out_dtype)
