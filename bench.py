@@ -25,11 +25,13 @@ teacher-forced per-step logit error vs the bf16 cache at Vicuna-7B widths
 statistically identical to the accepted W8A8 weight default itself
 (0.049, tools/measure_quant.py), which is why it ships as the default.
 The halved cache moves the OOM wall out: batch 56 x lane-cache 384 is the
-single-chip optimum (int8+shared sweep: b28 5.25, b32 5.39, b40 6.29,
-b48 6.69, b56 7.01 reports/s at unroll=1, 7.07 at the unroll=2 default,
-b60 runtime-OOM — tools/bench_sweep.py;
-the bf16-KV fallback, kv_int8=False, peaks at 5.73 at b38). Full batch x
-kv-dtype map + the fixed scale-buffer remat cliff: docs/PERF.md.
+single-chip optimum (pre-qbd-fix int8+shared sweep: b28 5.25, b32 5.39,
+b40 6.29, b48 6.69, b56 7.01 reports/s at unroll=1, 7.07 at the unroll=2
+default, b60 runtime-OOM — tools/bench_sweep.py; the bf16-KV fallback,
+kv_int8=False, peaks at 5.73 at b38). Round-4 reference value at this
+default after the in-kernel block-diagonal-q fix: **7.8618 reports/s**
+(2026-08-19). Full batch x kv-dtype map + the per-op profile + the fixed
+scale-buffer remat cliff: docs/PERF.md.
 
 vs_baseline is measured against the reference configuration's estimated GPU
 throughput: HF greedy generate, fp16 Vicuna-7B, batch 12, max_new_tokens 300
@@ -78,8 +80,9 @@ BATCH = 56                         # the single-chip optimum (docs/PERF.md):
 # W8A8 Pallas kernel, ~6.9GB) plus the int8 token-flat KV cache (~6.4GB at
 # 56 lanes x 384 slots after the shared 48 prefix slots move out of every
 # lane, + 0.4GB of dense-lane scales) — one 16GB v5e. Measured int8+shared
-# sweep (P0=48, unroll=1): b28 5.25, b32 5.39, b40 6.29, b48 6.69, b56
-# 7.01 reports/s (7.07 at the unroll=2 default), b60 runtime-OOM.
+# sweep (P0=48, unroll=1, pre-qbd-fix): b28 5.25, b32 5.39, b40 6.29,
+# b48 6.69, b56 7.01 reports/s (7.07 at the unroll=2 default; 7.86 after
+# the round-4 qbd fix), b60 runtime-OOM.
 # bf16-KV fallback sweep for comparison:
 # b32 5.31, b38 5.73 (its optimum), b40 runtime-OOM.
 # Weight VALUES here are synthetic (randomly init'd / constant tiles) — the
