@@ -229,6 +229,11 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
                                 img_start=img_start, lora=lora, policy=policy,
                                 lengths=lengths, axis_name=axis_name,
                                 last_pos=lengths - 1, shared_kv=shared)
+    # PRE-SPLIT per layer before the decode while_loop: the loop body then
+    # consumes 32 (or 128) separate LOOP-INVARIANT buffers directly. Slicing
+    # a stacked (L, ...) array inside the body re-materialized every layer's
+    # prefix block each step as a copy feeding the flash-decode custom call
+    # (~2.1 ms/step of the b56 per-op profile's copy line, docs/PERF.md).
     if kv_int8:
         # token-flat int8 prefix, padded to the kernel's 32-row sublane tile;
         # scales carry the dense-lane padding of the cache contract
@@ -237,14 +242,16 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
         v0_8, vs0 = quantize_kv(shared.v)
         p0p = -(-P0 // 32) * 32
         pad = ((0, 0), (0, p0p - P0), (0, 0))
-        shared_c = KVCache(
-            jnp.pad(k0_8.reshape(L, P0, H * D), pad),
-            jnp.pad(v0_8.reshape(L, P0, H * D), pad),
-            jnp.pad(pad_scale_lanes(ks0), pad),
-            jnp.pad(pad_scale_lanes(vs0), pad))
+        k0f = jnp.pad(k0_8.reshape(L, P0, H * D), pad)
+        v0f = jnp.pad(v0_8.reshape(L, P0, H * D), pad)
+        ks0f = jnp.pad(pad_scale_lanes(ks0), pad)
+        vs0f = jnp.pad(pad_scale_lanes(vs0), pad)
+        shared_c = tuple((k0f[i], ks0f[i], v0f[i], vs0f[i])
+                         for i in range(L))
     else:
-        shared_c = KVCache(shared.k.astype(cache.k.dtype),
-                           shared.v.astype(cache.v.dtype))
+        kc = shared.k.astype(cache.k.dtype)
+        vc = shared.v.astype(cache.v.dtype)
+        shared_c = tuple((kc[i], vc[i]) for i in range(kc.shape[0]))
     return decode_loop(params, cfg, cache, logits[:, 0], lengths, dp,
                        lora=lora, policy=policy, prompt_pad=t1,
                        axis_name=axis_name, shared_kv=shared_c, pos_offset=p0,

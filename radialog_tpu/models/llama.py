@@ -669,6 +669,16 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             direct = (cur_cache, i) if cache is not None else None
             if shared_kv is None:
                 shared_layer = None
+            elif isinstance(shared_kv, (tuple, list)):
+                # PRE-SPLIT per-layer form (decode/engine.py
+                # generate_shared_prefix): 4-tuple = int8 prefix entry,
+                # 2-tuple = bf16. Splitting before the decode while_loop
+                # keeps each layer's prefix a loop-invariant buffer —
+                # slicing a stacked array inside the body copied every
+                # layer's prefix each step (per-op profile, docs/PERF.md).
+                entry = shared_kv[i]
+                shared_layer = ((tuple(entry), shared_p0)
+                                if len(entry) == 4 else tuple(entry))
             elif shared_kv.quantized:
                 # int8 decode: ((k0_8, ks0, v0_8, vs0), live prefix length)
                 shared_layer = ((shared_kv.k[i], shared_kv.k_scale[i],
