@@ -669,7 +669,15 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             direct = (cur_cache, i) if cache is not None else None
             if shared_kv is None:
                 shared_layer = None
-            elif isinstance(shared_kv, (tuple, list)):
+            elif not isinstance(shared_kv, KVCache) and \
+                    isinstance(shared_kv, (tuple, list)):
+                # NB KVCache is itself a NamedTuple — it must be excluded
+                # before the tuple test or a stacked prefix cache would be
+                # misread as the pre-split form (masked by nothing: it
+                # fails with 'too many values to unpack' only at trace
+                # time of a shared-prefix call, which the CPU suite's tiny
+                # graphs DO hit — but the fallback-free bench caught it
+                # first; regression pinned in test_shared_prefix.py)
                 # PRE-SPLIT per-layer form (decode/engine.py
                 # generate_shared_prefix): 4-tuple = int8 prefix entry,
                 # 2-tuple = bf16. Splitting before the decode while_loop

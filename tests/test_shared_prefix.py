@@ -58,8 +58,12 @@ def _concat_prompts(prefix, remainders, rem_lens):
     return jnp.asarray(full), jnp.asarray([p0 + int(n) for n in rem_lens])
 
 
-@pytest.mark.slow
 def test_shared_prefix_tokens_exact():
+    # deliberately NOT slow-marked: this is the only default-CI test that
+    # traces the full shared-prefix prefill+decode over unrolled params —
+    # the round-4 pre-split regression (KVCache being a NamedTuple
+    # shadowing the per-layer tuple form, llama.py) was only reachable
+    # through this path
     qp = _unrolled_params()
     prefix = RNG.integers(3, 200, size=(6,))
     rems = RNG.integers(3, 200, size=(3, 5))
@@ -246,3 +250,20 @@ def test_shared_prefix_rejects_stacked_layout():
     with pytest.raises(ValueError, match="unrolled"):
         generate_shared_prefix(p, CFG, jnp.arange(4), jnp.ones((1, 3), jnp.int32),
                                jnp.asarray([3]), DecodeParams(max_new_tokens=2))
+
+
+def test_shared_prefix_int8_pre_split_traces():
+    """kv_int8 shared decode threads the PRE-SPLIT 4-tuple prefix entries
+    (decode/engine.py round-4) — this traces that exact branch in the
+    default CI run (token equality for int8 stays in the slow/ulp-caveat
+    tests; the r4 regression was a trace-time unpack error)."""
+    qp = _unrolled_params()
+    prefix = RNG.integers(3, 200, size=(6,))
+    rems = RNG.integers(3, 200, size=(2, 5))
+    rem_lens = [5, 4]
+    dp = DecodeParams(max_new_tokens=4, eos_token_id=1)
+    got = generate_shared_prefix(qp, CFG, jnp.asarray(prefix),
+                                 jnp.asarray(rems), jnp.asarray(rem_lens),
+                                 dp, cache_len=32, kv_int8=True)
+    assert np.asarray(got.tokens).shape == (2, 4)
+    assert (np.asarray(got.lengths) >= 1).all()
