@@ -55,8 +55,10 @@ class RaDialogServer:
                  batcher: Optional[RingBatcher] = None,
                  kv_int8: bool = False):
         # ``batcher``: serve a pre-built scheduler instead — e.g. the
-        # TP-sharded parallel/tp_ring.TPRingBatcher (same host interface);
-        # mutually exclusive with params/cfg.
+        # TP-sharded parallel/tp_ring.TPRingBatcher, or the batched
+        # speculative decode/spec_ring.SpecRingBatcher for correction/QA-
+        # heavy workloads (same host interface; tests/test_serve.py pins
+        # the composition); mutually exclusive with params/cfg.
         if batcher is not None:
             if params is not None or cfg is not None:
                 raise ValueError("pass either batcher= or params+cfg, not both")

@@ -215,3 +215,28 @@ def test_server_warmup_then_serves():
         assert len(out) >= 1
     finally:
         srv.shutdown()
+
+
+def test_server_over_spec_ring_batcher():
+    """The batched speculative ring serves through the same thread-safe
+    front-end (batcher= composition) and stays greedy-exact vs the plain
+    ring server."""
+    from radialog_tpu.decode.spec_ring import SpecRingBatcher
+    params = llama_init(jax.random.PRNGKey(0), CFG)
+    from radialog_tpu.decode.engine import DecodeParams
+    dp = DecodeParams(max_new_tokens=6, eos_token_id=1)
+    prompts = [[int(x) for x in np.random.default_rng(s).integers(3, 200, 7)]
+               for s in range(3)]
+    plain = RaDialogServer(params, CFG, lanes=2, cache_len=96, prompt_len=32,
+                           dp=dp, steps_per_call=2)
+    spec = RaDialogServer(batcher=SpecRingBatcher(
+        params, CFG, lanes=2, cache_len=96, prompt_len=32, dp=dp,
+        spec_k=3, steps_per_call=1))
+    try:
+        want = [plain.generate(p) for p in prompts]
+        futs = [spec.submit(p) for p in prompts]
+        got = [f.result(120) for f in futs]
+        assert got == want
+    finally:
+        plain.shutdown()
+        spec.shutdown()
