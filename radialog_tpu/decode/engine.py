@@ -230,10 +230,11 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
                                 lengths=lengths, axis_name=axis_name,
                                 last_pos=lengths - 1, shared_kv=shared)
     # PRE-SPLIT per layer before the decode while_loop: the loop body then
-    # consumes 32 (or 128) separate LOOP-INVARIANT buffers directly. Slicing
-    # a stacked (L, ...) array inside the body re-materialized every layer's
-    # prefix block each step as a copy feeding the flash-decode custom call
-    # (~2.1 ms/step of the b56 per-op profile's copy line, docs/PERF.md).
+    # consumes 32 (or 128) separate LOOP-INVARIANT buffers by construction.
+    # Measured NEUTRAL at the b56 serving default (7.8618 -> 7.8534
+    # reports/s, noise) — XLA was already hoisting the stacked in-body
+    # slices out of the loop; kept because it makes the Pallas operands'
+    # loop-invariance structural rather than an optimizer outcome.
     if kv_int8:
         # token-flat int8 prefix, padded to the kernel's 32-row sublane tile;
         # scales carry the dense-lane padding of the cache contract

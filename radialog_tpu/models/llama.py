@@ -681,9 +681,9 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 # PRE-SPLIT per-layer form (decode/engine.py
                 # generate_shared_prefix): 4-tuple = int8 prefix entry,
                 # 2-tuple = bf16. Splitting before the decode while_loop
-                # keeps each layer's prefix a loop-invariant buffer —
-                # slicing a stacked array inside the body copied every
-                # layer's prefix each step (per-op profile, docs/PERF.md).
+                # makes each layer's prefix loop-invariant by construction
+                # (measured perf-neutral vs the stacked in-body slices —
+                # XLA already hoisted them; decode/engine.py note).
                 entry = shared_kv[i]
                 shared_layer = ((tuple(entry), shared_p0)
                                 if len(entry) == 4 else tuple(entry))
