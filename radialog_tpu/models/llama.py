@@ -28,6 +28,7 @@ functional, static-shape, TPU-first decoder:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -297,7 +298,8 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
                      slot_info=None,
                      shared_layer=None,
                      verify: bool = False,
-                     flash: bool = True):
+                     flash: bool = True,
+                     defer: bool = False):
     """One layer's attention. cache_layer: (B,S,H,D) k/v for this layer, or
     None at prefill (fresh K/V are returned for bulk cache install);
     direct_cache: (ck_full, cv_full, static layer idx) for the unrolled
@@ -325,16 +327,37 @@ def _attention_block(lp: Dict, lora_layer, lora_scale, cfg: LlamaConfig,
             # token-flat int8 layout: (B, T, H, D) -> (B, T, H*D)
             k8 = k8.reshape(b, t, nkv * hd)
             v8 = v8.reshape(b, t, nkv * hd)
+            ksp, vsp = pad_scale_lanes(ks), pad_scale_lanes(vs)
+            if defer:
+                # IN-KERNEL-WRITE decode (opt-in, measured perf-neutral —
+                # docs/PERF.md "In-kernel cache writes"): the step's K/V
+                # go to the kernel as a direct operand (its mask shrinks
+                # to exclude the current slot) and the kernel inserts the
+                # row into the cache in-place via aliased outputs — no
+                # per-layer dynamic_update_slice at all (a deferred
+                # stacked write instead made XLA double-buffer the 2.6 GB
+                # cache carry and OOM).
+                sl, p0 = (shared_layer if shared_layer is not None
+                          else (None, None))
+                pp, st = slot_info
+                o, new_cache = _attention_int8_kv(
+                    q, full_cache, layer_idx, bias, hd,
+                    lengths=lengths, slot_info=(pp, st - 1),
+                    shared_layer=sl, p0=p0,
+                    current=(k8, ksp, v8, vsp), write_cache=True)
+                o = o.reshape(b, t, nh * hd)
+                return (_proj(lp, lora_layer, "wo", o, lora_scale, policy),
+                        new_cache)
             new_cache = KVCache(
                 jax.lax.dynamic_update_slice(
                     full_cache.k, k8[None], (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
                     full_cache.v, v8[None], (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
-                    full_cache.k_scale, pad_scale_lanes(ks)[None],
+                    full_cache.k_scale, ksp[None],
                     (layer_idx, 0, write_pos, 0)),
                 jax.lax.dynamic_update_slice(
-                    full_cache.v_scale, pad_scale_lanes(vs)[None],
+                    full_cache.v_scale, vsp[None],
                     (layer_idx, 0, write_pos, 0)))
             if t > 1 and not verify:
                 # DIRECT PREFILL into the int8 cache: attention runs on this
@@ -466,7 +489,8 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
                        lengths: Optional[jax.Array] = None,
                        slot_info=None,
                        shared_layer=None,
-                       p0: Optional[jax.Array] = None) -> jax.Array:
+                       p0: Optional[jax.Array] = None,
+                       current=None, write_cache: bool = False):
     """Decode attention over an int8 KV cache, fully on the int8 MXU.
 
     q: (B, T, H, D) float. scores = (q8 . k8) * q_scale * k_scale;
@@ -483,22 +507,34 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
     (decode/engine.py generate_shared_prefix, kv_int8 mode).
     """
     b, t, nh, hd = q.shape
+    from ..ops.flash_decode import flash_decode_available
     if (t == 1 and slot_info is not None and lengths is not None
-            and jax.default_backend() in ("tpu", "axon")):
+            and flash_decode_available()):
         # fused Pallas flash-decode: int8 DMA + block-diagonal-q MXU matmuls.
         # slot_info is either the batch engine's global (prompt_pad, step)
         # static-slot mask or the RingBatcher's per-lane closed intervals
         # (a1, b1, a2, b2) over the rotating generation window.
-        from ..ops.flash_decode import flash_decode_int8
+        # current: the step's own K/V row as a direct kernel operand
+        # (in-kernel-cache-write decode, llama_apply defer path) — the
+        # caller has already shrunk slot_info to exclude the current slot.
+        # write_cache: the kernel also inserts the row into the cache
+        # in-place (aliased outputs); returns (o, new KVCache).
+        from ..ops.flash_decode import (flash_decode_force_interpret,
+                                        flash_decode_int8)
+        interp = (flash_decode_force_interpret()
+                  and jax.default_backend() not in ("tpu", "axon"))
         kshared = (tuple(x[None] for x in shared_layer)
                    if shared_layer is not None else None)
         if len(slot_info) == 4:
+            assert not write_cache, \
+                "in-kernel cache writes support the static-slot mask only"
             o = flash_decode_int8(q[:, 0], cache.k, cache.k_scale,
                                   cache.v, cache.v_scale, lengths,
                                   layer_idx=layer_idx,
                                   scale=head_dim ** -0.5,
                                   shared=kshared, p0=p0,
-                                  gen_intervals=slot_info)
+                                  gen_intervals=slot_info,
+                                  current=current, interpret=interp)
         else:
             prompt_pad, step = slot_info
             o = flash_decode_int8(q[:, 0], cache.k, cache.k_scale,
@@ -506,8 +542,16 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
                                   lengths, prompt_pad, step,
                                   layer_idx=layer_idx,
                                   scale=head_dim ** -0.5,
-                                  shared=kshared, p0=p0)
+                                  shared=kshared, p0=p0,
+                                  current=current, interpret=interp,
+                                  write_cache=write_cache)
+        if write_cache:
+            o, (k8n, ksn, v8n, vsn) = o
+            return (o[:, None].astype(q.dtype),
+                    KVCache(k8n, v8n, ksn, vsn))
         return o[:, None].astype(q.dtype)
+    assert current is None, \
+        "in-kernel KV writes require the Pallas flash-decode path"
     s_max = cache.k.shape[2]
     # token-flat (B,S,H*D) -> (B,S,H,D); free on the CPU/fallback path
     k8 = cache.k[layer_idx].reshape(b, s_max, nh, hd)
@@ -603,7 +647,8 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 shared_kv: Optional[KVCache] = None,
                 shared_p0: Optional[jax.Array] = None,
                 verify: bool = False,
-                flash: bool = True):
+                flash: bool = True,
+                defer_kv: Optional[bool] = None):
     """Core transformer. Returns (logits, new_cache).
     verify: static — speculative-decoding verification step
     (decode/speculative.py): a t>1 query block that attends the FULL cache
@@ -626,6 +671,19 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     lets the int8-KV flash-decode kernel build its own mask. The RingBatcher
     passes per-lane closed intervals (a1, b1, a2, b2) instead, each (B,)
     int32, describing its rotating generation window (ops/flash_decode.py).
+    defer_kv: True routes eligible single-token int8-KV kernel steps
+    through IN-KERNEL cache writes (the layer's K/V row is inserted into
+    the cache from INSIDE the flash-decode kernel via aliased outputs,
+    replacing the per-layer dynamic_update_slice chain — see the unrolled
+    branch below). Default (None) reads RADIALOG_DEFER_KV, which defaults
+    OFF: measured 7.81 vs 7.85 reports/s at the b56 serving default — the
+    DUS chain's 1.91 ms/step of xplane time overlaps the kernels' DMA
+    queues rather than extending the critical path, while the kernel
+    write pays real 8-row-slab write amplification (docs/PERF.md
+    "In-kernel cache writes"). The written slot row is identical either
+    way; rows past the write slot inside its 8-row slab are undefined
+    under the kernel write (each is overwritten in turn as THE slot
+    before any mask can see it).
 
     tokens: (B, T); positions: (B, T) absolute positions for RoPE;
     bias: (B|1, 1, T, S) additive attention bias over the KV axis
@@ -661,6 +719,24 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
         if verify and cache is None:
             raise ValueError("verify=True needs a pre-allocated cache — a "
                              "verification block attends prior context")
+        from ..ops.flash_decode import flash_decode_available
+        # IN-KERNEL CACHE WRITES (single-token int8-KV decode on the Pallas
+        # kernel path only): each layer hands its quantized K/V row to the
+        # kernel as a direct operand and the kernel inserts it into the
+        # cache in-place (aliased outputs) — zero cache-write dispatches
+        # instead of 4 tiny dynamic_update_slice ops per layer. Gated to
+        # the static-slot mask form; the RingBatcher's per-lane intervals
+        # keep per-layer writes. defer_kv=None reads RADIALOG_DEFER_KV,
+        # default OFF — measured perf-neutral-to-negative at the b56
+        # serving default (the DUS chain overlaps the kernels' DMA queues;
+        # docs/PERF.md "In-kernel cache writes"); an explicit True/False
+        # wins (tests pin in-kernel vs per-layer writes equal at the slot).
+        if defer_kv is None:
+            defer_kv = os.environ.get("RADIALOG_DEFER_KV", "0") == "1"
+        defer_kv = (defer_kv and cache is not None and cache.quantized
+                    and tokens.shape[1] == 1 and not verify
+                    and slot_info is not None and len(slot_info) == 2
+                    and lengths is not None and flash_decode_available())
         cur_cache = cache
         fresh_k, fresh_v = [], []
         for i, lp in enumerate(params["layers"]):
@@ -698,7 +774,8 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                 lp, ll, lora_scale, cfg, h, positions, rope, bias,
                 None, write_pos, policy, direct_cache=direct,
                 lengths=lengths, slot_info=slot_info,
-                shared_layer=shared_layer, verify=verify, flash=flash)
+                shared_layer=shared_layer, verify=verify, flash=flash,
+                defer=defer_kv)
             if cache is not None:
                 cur_cache = cache_out
             else:

@@ -61,6 +61,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def flash_decode_force_interpret() -> bool:
+    """Test override: RADIALOG_FLASH_DECODE_FORCE=interpret runs the kernel
+    in Pallas interpret mode on CPU, letting the CPU suite drive the
+    kernel-consuming decode paths (incl. the deferred-cache-write path,
+    which only exists when the kernel is taken) end-to-end. Resolved at
+    trace time, like the flash-attention env knobs."""
+    return os.environ.get("RADIALOG_FLASH_DECODE_FORCE", "") == "interpret"
+
+
+def flash_decode_available() -> bool:
+    """True when decode attention should take the Pallas kernel path: a real
+    TPU backend, or the interpret-mode test override above."""
+    return (jax.default_backend() in ("tpu", "axon")
+            or flash_decode_force_interpret())
+
+
 def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
                    m_ref, l_ref, acc_ref, ef, scale):
     """One online-softmax accumulation over a KV block.
@@ -109,7 +125,7 @@ def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
 def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
             *refs,
             bs: int, heads: int, head_dim: int, scale: float,
-            n0: int = 0):
+            n0: int = 0, nc: int = 0, nw: int = 0):
     """Per-lane validity is interval-encoded in the prefetched scalars
     (B = num lanes): slot s of lane b is valid iff
 
@@ -128,14 +144,41 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
     batch-wide int8 prefix block (k0/v0 (P0p, H*D), scales (P0p, SL); valid
     rows < p0, prefetched at lens_ref[5B]) before the per-lane cache blocks
     — the prefix bytes are DMA'd once (constant index map), not once per
-    lane (decode/engine.py generate_shared_prefix, kv_int8 mode)."""
+    lane (decode/engine.py generate_shared_prefix, kv_int8 mode).
+
+    nc=1 adds a CURRENT-TOKEN block (kc/vc (B, 1, H*D) int8 + scales): the
+    step's own K/V arrive as a direct operand instead of being read back
+    from the cache. The caller shrinks the generated interval to exclude
+    the current slot (b1 = prompt_pad + step - 1) — the kernel always
+    attends the current row.
+
+    nw=1 (requires nc=1) additionally WRITES the current row into the
+    cache IN-KERNEL: the cache buffers come back as aliased outputs
+    (input_output_aliases) and the kernel rebuilds the 8-row slab that
+    contains write slot b1[b]+1 — rows below the slot captured from the
+    resident read block, the slot row replaced with the current K/V,
+    rows above the slot left stale/zero (they are dead until a later
+    step writes each in turn as THE slot). This removes the decode
+    loop's per-layer dynamic_update_slice chain entirely (4·L tiny DUS
+    ops); measured perf-neutral-to-negative at the serving default —
+    the DUS writes overlap the kernels' DMA queues, so it stays OPT-IN
+    (docs/PERF.md "In-kernel cache writes"). The one-stacked-write
+    alternative made XLA double-buffer the 2.6 GB cache carry
+    (read-by-32-kernels-then-write) and OOMed at batch 56."""
+    refs = list(refs)
+    q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref = refs[:6]
+    at = 6
+    if nc:
+        kc_ref, kcs_ref, vc_ref, vcs_ref = refs[at:at + 4]
+        at += 4
     if n0:
-        (q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
-         k0_ref, ks0_ref, v0_ref, vs0_ref,
-         o_ref, m_ref, l_ref, acc_ref, qbt_ref, ef_ref) = refs
+        k0_ref, ks0_ref, v0_ref, vs0_ref = refs[at:at + 4]
+        at += 4
+    if nw:
+        (o_ref, ko_ref, kso_ref, vo_ref, vso_ref,
+         m_ref, l_ref, acc_ref, qbt_ref, ef_ref) = refs[at:]
     else:
-        (q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
-         o_ref, m_ref, l_ref, acc_ref, qbt_ref, ef_ref) = refs
+        o_ref, m_ref, l_ref, acc_ref, qbt_ref, ef_ref = refs[at:]
     s_i = pl.program_id(1)
     h, d = heads, head_dim
     hd = h * d
@@ -177,6 +220,69 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
                            row < p0, qbt_ref[:], qs_ref[0],
                            m_ref, l_ref, acc_ref, ef_ref[:], scale)
 
+    if nc:
+        @pl.when(s_i == 0)
+        def _current():
+            # the step's own K/V row — always valid (every lane forwards
+            # every step; done lanes' outputs are masked by the caller, as
+            # with the old in-cache slot). Online softmax is order-invariant,
+            # so accumulating it first is exact up to fp reassociation.
+            ones = jnp.ones((1, h), jnp.bool_)
+            _process_block(kc_ref[0], kcs_ref[0][:, :h], vc_ref[0],
+                           vcs_ref[0][:, :h], ones, qbt_ref[:], qs_ref[0],
+                           m_ref, l_ref, acc_ref, ef_ref[:], scale)
+
+    if nw:
+        # In-kernel cache write: rebuild the 8-row slab holding write slot
+        # b1+1 in the aliased (1, 1, 8, ·) out blocks (the pipeline flushes
+        # each lane's slab once, at lane end). Selects run in i32/f32 —
+        # Mosaic crashes on narrow-dtype selects with sublane-broadcast
+        # operands (same workaround as the qbt build above).
+        slot = b1 + 1
+        r = slot % 8
+        s0 = slot - r
+        slw = kso_ref.shape[-1]
+        rsel_hd = jax.lax.broadcasted_iota(jnp.int32, (8, hd), 0) == r
+        rsel_sl = jax.lax.broadcasted_iota(jnp.int32, (8, slw), 0) == r
+
+        @pl.when(s_i == 0)
+        def _winit():
+            # rows != slot zeroed; the capture below overlays the live rows
+            # (always runs when r > 0; when r == 0 the rows above are dead)
+            ko_ref[0, 0] = jnp.where(rsel_hd, kc_ref[0].astype(jnp.int32),
+                                     0).astype(ko_ref.dtype)
+            vo_ref[0, 0] = jnp.where(rsel_hd, vc_ref[0].astype(jnp.int32),
+                                     0).astype(vo_ref.dtype)
+            kso_ref[0, 0] = jnp.where(rsel_sl,
+                                      kcs_ref[0].astype(jnp.float32),
+                                      0.0).astype(kso_ref.dtype)
+            vso_ref[0, 0] = jnp.where(rsel_sl,
+                                      vcs_ref[0].astype(jnp.float32),
+                                      0.0).astype(vso_ref.dtype)
+
+        @pl.when((s_i == n0 + s0 // bs) & (r > 0))
+        def _wcapture():
+            # the read block holding rows [s0, slot) is resident this step
+            # (s0 <= b1 <= the lane's live bound, so the clamp never skips
+            # it); rows above the slot write back stale cache content
+            off = pl.multiple_of(s0 % bs, 8)
+            ko_ref[0, 0] = jnp.where(
+                rsel_hd, kc_ref[0].astype(jnp.int32),
+                k8_ref[0, 0, pl.ds(off, 8), :].astype(jnp.int32)
+            ).astype(ko_ref.dtype)
+            vo_ref[0, 0] = jnp.where(
+                rsel_hd, vc_ref[0].astype(jnp.int32),
+                v8_ref[0, 0, pl.ds(off, 8), :].astype(jnp.int32)
+            ).astype(vo_ref.dtype)
+            kso_ref[0, 0] = jnp.where(
+                rsel_sl, kcs_ref[0].astype(jnp.float32),
+                ks_ref[0, 0, pl.ds(off, 8), :].astype(jnp.float32)
+            ).astype(kso_ref.dtype)
+            vso_ref[0, 0] = jnp.where(
+                rsel_sl, vcs_ref[0].astype(jnp.float32),
+                vs_ref[0, 0, pl.ds(off, 8), :].astype(jnp.float32)
+            ).astype(vso_ref.dtype)
+
     # Live-bound clamp: slots beyond this lane's last valid row can never
     # contribute, so later blocks are DEAD — their index maps clamp to the
     # last live block (same index as the previous grid step => the pipeline
@@ -206,14 +312,15 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
 
 
 @functools.partial(jax.jit, static_argnames=("layer_idx", "scale", "bs",
-                                             "interpret"))
+                                             "interpret", "write_cache"))
 def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                       v8: jax.Array, vs: jax.Array, lengths: jax.Array,
                       prompt_pad=None, step=None, layer_idx: int = 0,
                       scale: float | None = None,
                       bs: int | None = None, interpret: bool = False,
                       shared=None, p0=None,
-                      gen_intervals=None) -> jax.Array:
+                      gen_intervals=None, current=None,
+                      write_cache: bool = False):
     """Single-token attention over one layer of a FULL stacked int8 cache.
 
     q: (B, H, D) float; k8/v8: (L, B, S, H*D) int8 (token-flat layout);
@@ -242,6 +349,32 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     block index maps are constant, so its bytes move HBM->VMEM once per
     kernel launch instead of once per lane (prefix-sharing serving,
     decode/engine.py generate_shared_prefix).
+
+    current: optional (kc8, kcs, vc8, vcs) — THE STEP'S OWN K/V as a direct
+    per-lane operand: kc8/vc8 (B, 1, H*D) int8, kcs/vcs (B, 1, SL) scales
+    (the same quantize_kv rounding the cache stores, so the math is
+    identical to reading the row back from the cache). The caller must
+    exclude the current slot from its mask (pass step-1 / shrink the
+    interval) — the kernel always attends the current row.
+
+    write_cache=True (requires current) makes the kernel ALSO write the
+    current row into the cache in-place: the four cache buffers come back
+    as ALIASED outputs and the return value becomes
+    (o, (k8', ks', v8', vs')). The write slot is b1[b]+1 per lane
+    (= prompt_pad + step + 1 under the shrunk static-slot mask, i.e. the
+    true current slot). The kernel rebuilds the 8-row slab around the slot
+    (Mosaic's packed-sublane tiling forbids 1-row blocked writes): rows
+    below the slot are recaptured from the resident read block, rows ABOVE
+    the slot within the slab are left stale or zeroed — callers must treat
+    rows past the write slot as undefined (the decode loop overwrites each
+    in turn as THE slot, and every mask already excludes them). This kills
+    the decode loop's per-layer dynamic_update_slice chain (4·L tiny DUS)
+    without the 2.6 GB carry double-buffering XLA creates for a
+    read-by-all-layers-then-write-once stacked deferral (models/llama.py
+    llama_apply defer path) — but measured perf-neutral-to-negative at
+    the b56 serving default (the DUS writes overlap the kernels' DMA
+    queues; docs/PERF.md "In-kernel cache writes"), so it is OPT-IN.
+    The caller must guarantee slot < S.
     """
     b, h, d = q.shape
     hd = h * d
@@ -326,6 +459,24 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                      lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
     ]
     operands = [q8, qscale[:, None, :], k8, ks, v8, vs]
+    nc = 0
+    if current is not None:
+        # per-lane current-token row: tiny (B, 1, hd) blocks, index maps
+        # constant in s_i -> DMA'd once per lane (kernel unpacks these
+        # BEFORE the shared-prefix refs — keep the order in sync)
+        kc8, kcs, vc8, vcs = current
+        slc = kcs.shape[-1]
+        assert kc8.shape == (b, 1, hd) and vc8.shape == (b, 1, hd), \
+            (kc8.shape, vc8.shape, b, hd)
+        assert slc >= h and vcs.shape[-1] == slc, (kcs.shape, vcs.shape, h)
+        in_specs += [
+            pl.BlockSpec((1, 1, hd), lambda bi, si, sc: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, slc), lambda bi, si, sc: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, hd), lambda bi, si, sc: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, slc), lambda bi, si, sc: (bi, 0, 0)),
+        ]
+        operands += [kc8, kcs, vc8, vcs]
+        nc = 1
     if shared is not None:
         # PER-LAYER prefix arrays with a leading dummy axis (1, P0p, ...) —
         # the caller slices its stacked (L, ...) prefix outside the kernel
@@ -345,17 +496,50 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         ]
         operands += [k0_8, ks0, v0_8, vs0]
 
+    out_specs = [pl.BlockSpec((1, 1, hd), lambda bi, si, sc: (bi, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, 1, hd), q.dtype)]
+    aliases = {}
+    nw = 0
+    if write_cache:
+        assert current is not None, "write_cache requires the current row"
+        assert bs % 8 == 0 and s_len % 8 == 0, (bs, s_len)
+        assert current[1].shape[-1] == sl, (current[1].shape, sl)
+        nw = 1
+
+        def slab_idx(bi, si, sc):
+            # the 8-row slab holding write slot b1[bi]+1; constant in si
+            # -> flushed once per lane. Clamped like dynamic_update_slice
+            # clamps its start: engine/session bounds checks keep slots
+            # < S, the clamp only turns a missed bound into the same
+            # last-slab corruption the DUS path had instead of UB.
+            return (li, bi,
+                    jnp.minimum((sc[2 * nb + bi] + 1) // 8,
+                                s_len // 8 - 1), 0)
+
+        out_specs += [
+            pl.BlockSpec((1, 1, 8, hd), slab_idx),
+            pl.BlockSpec((1, 1, 8, sl), slab_idx),
+            pl.BlockSpec((1, 1, 8, hd), slab_idx),
+            pl.BlockSpec((1, 1, 8, sl), slab_idx),
+        ]
+        out_shape += [jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+                      jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+                      jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+                      jax.ShapeDtypeStruct(vs.shape, vs.dtype)]
+        # operand order: [scalars, q8, qs, k8, ks, v8, vs, ...] — the four
+        # cache buffers alias the four slab outputs (in-place row insert)
+        aliases = {3: 1, 4: 2, 5: 3, 6: 4}
+
     grid = (b, n0 + s_len // bs)
     kernel = functools.partial(_kernel, bs=bs, heads=h, head_dim=d,
-                               scale=scale, n0=n0)
+                               scale=scale, n0=n0, nc=nc, nw=nw)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, hd),
-                                   lambda bi, si, sc: (bi, 0, 0)),
+            out_specs=out_specs if write_cache else out_specs[0],
             scratch_shapes=[
                 pltpu.VMEM((1, h), jnp.float32),
                 pltpu.VMEM((1, h), jnp.float32),
@@ -364,7 +548,8 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                 pltpu.VMEM((h, hd), jnp.float32),   # head-expansion mask E
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
+        out_shape=out_shape if write_cache else out_shape[0],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -373,4 +558,7 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             transcendentals=b * h * s_len),
         interpret=interpret,
     )(scalars, *operands)
+    if write_cache:
+        o, k8n, ksn, v8n, vsn = out
+        return o.reshape(b, h, d), (k8n, ksn, v8n, vsn)
     return out.reshape(b, h, d)

@@ -314,3 +314,159 @@ def test_flash_decode_int8_per_lane_intervals_matches_reference():
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bhs,bshd->bhd", p, vd)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=0.05, atol=0.02)
+
+
+def test_flash_decode_int8_current_token_operand():
+    """The deferred-write contract (ops/flash_decode.py `current`): passing
+    the step's own K/V row as a direct kernel operand with the mask shrunk
+    by one (step-1) must match the classic path that reads the row back
+    from the cache at slot prompt_pad+step. The residual is pure
+    accumulation-order noise under the kernel's bf16 softmax-weight cast
+    (~1e-3, the same envelope as its quantization error)."""
+    from radialog_tpu.ops.flash_decode import flash_decode_int8
+    from radialog_tpu.models.llama import pad_scale_lanes
+
+    L, B, S, H, D = 2, 3, 16, 4, 8
+    rng = np.random.default_rng(7)
+    k8, ks = quantize_kv(jnp.asarray(rng.normal(size=(L, B, S, H, D)),
+                                     jnp.float32))
+    v8, vs = quantize_kv(jnp.asarray(rng.normal(size=(L, B, S, H, D)),
+                                     jnp.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    lengths = jnp.asarray([5, 12, 9], jnp.int32)  # always <= prompt_pad
+    prompt_pad, li = 12, 1
+    ksp, vsp = pad_scale_lanes(ks), pad_scale_lanes(vs)
+    P0, P0p = 5, 8
+    k0_8, ks0 = quantize_kv(jnp.asarray(rng.normal(size=(1, P0p, H, D)),
+                                        jnp.float32))
+    v0_8, vs0 = quantize_kv(jnp.asarray(rng.normal(size=(1, P0p, H, D)),
+                                        jnp.float32))
+    sh = (k0_8.reshape(1, P0p, H * D), ks0, v0_8.reshape(1, P0p, H * D), vs0)
+
+    for shared, p0 in ((None, None), (sh, P0)):
+        for step in (0, 2, 3):
+            slot = prompt_pad + step
+            ref = flash_decode_int8(
+                q, k8.reshape(L, B, S, H * D), ksp,
+                v8.reshape(L, B, S, H * D), vsp,
+                lengths, prompt_pad, step, layer_idx=li, bs=8,
+                interpret=True, shared=shared, p0=p0)
+            # zero the current slot in the cache: the defer path must not
+            # read it (proves the shrunk mask really excludes the slot)
+            k8z = k8.at[:, :, slot].set(0)
+            v8z = v8.at[:, :, slot].set(0)
+            cur = (k8[li, :, slot:slot + 1].reshape(B, 1, H * D),
+                   ksp[li, :, slot:slot + 1],
+                   v8[li, :, slot:slot + 1].reshape(B, 1, H * D),
+                   vsp[li, :, slot:slot + 1])
+            got = flash_decode_int8(
+                q, k8z.reshape(L, B, S, H * D), ksp,
+                v8z.reshape(L, B, S, H * D), vsp,
+                lengths, prompt_pad, step - 1, layer_idx=li, bs=8,
+                interpret=True, shared=shared, p0=p0, current=cur)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=0.02, atol=3e-3)
+
+
+def test_flash_decode_int8_write_cache_inserts_row():
+    """write_cache=True (ops/flash_decode.py): the kernel returns the cache
+    buffers with the current row inserted IN-PLACE at slot b1+1. Contract:
+    the slot row is byte-exact the current operand; rows BELOW the slot and
+    all other layers/lanes are preserved; rows past the slot inside its
+    8-row slab are undefined (the decode loop overwrites each in turn as
+    THE slot before any mask reads it)."""
+    from radialog_tpu.ops.flash_decode import flash_decode_int8
+    from radialog_tpu.models.llama import pad_scale_lanes
+
+    L, B, S, H, D = 2, 3, 32, 4, 8
+    rng = np.random.default_rng(11)
+    k8, ks = quantize_kv(jnp.asarray(rng.normal(size=(L, B, S, H, D)),
+                                     jnp.float32))
+    v8, vs = quantize_kv(jnp.asarray(rng.normal(size=(L, B, S, H, D)),
+                                     jnp.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    lengths = jnp.asarray([5, 12, 9], jnp.int32)
+    prompt_pad, li = 12, 1
+    ksp, vsp = pad_scale_lanes(ks), pad_scale_lanes(vs)
+    k8f, v8f = k8.reshape(L, B, S, H * D), v8.reshape(L, B, S, H * D)
+
+    for step in (0, 3, 11):      # slots 12 (r=4), 15 (r=7), 23 (r=7)
+        slot = prompt_pad + step
+        cur = (k8f[li, :, slot:slot + 1], ksp[li, :, slot:slot + 1],
+               v8f[li, :, slot:slot + 1], vsp[li, :, slot:slot + 1])
+        # zero the slot row so the insert is observable
+        k8z = k8f.at[:, :, slot].set(0)
+        v8z = v8f.at[:, :, slot].set(0)
+        ref = flash_decode_int8(q, k8f, ksp, v8f, vsp, lengths,
+                                prompt_pad, step, layer_idx=li, bs=8,
+                                interpret=True)
+        got, (k8n, ksn, v8n, vsn) = flash_decode_int8(
+            q, k8z, ksp, v8z, vsp, lengths, prompt_pad, step - 1,
+            layer_idx=li, bs=8, interpret=True, current=cur,
+            write_cache=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0.02, atol=3e-3)
+        for new, old, curv in ((k8n, k8z, cur[0]), (ksn, ksp, cur[1]),
+                               (v8n, v8z, cur[2]), (vsn, vsp, cur[3])):
+            new, old = np.asarray(new), np.asarray(old)
+            # the inserted row
+            np.testing.assert_array_equal(new[li, :, slot],
+                                          np.asarray(curv)[:, 0])
+            # rows below the slot + the whole other layer preserved
+            np.testing.assert_array_equal(new[li, :, :slot],
+                                          old[li, :, :slot])
+            np.testing.assert_array_equal(new[1 - li], old[1 - li])
+            # rows past the slab are untouched (the slab's upper rows are
+            # contractually undefined)
+            s_end = (slot // 8) * 8 + 8
+            np.testing.assert_array_equal(new[li, :, s_end:],
+                                          old[li, :, s_end:])
+
+
+def test_deferred_kv_writes_match_per_layer_writes(monkeypatch):
+    """llama_apply's deferred-cache-write decode (4 stacked writes per
+    forward instead of 4 per layer) vs the per-layer write path, both on
+    the kernel (forced interpret on CPU). Layer 0 sees identical inputs in
+    both runs, so its written rows must be BITWISE equal — that pins the
+    stacked-write indexing. Later layers absorb the attention outputs'
+    fp-reorder noise, so logits are compared in sigma terms and the
+    end-to-end generate is a smoke check through the while_loop."""
+    from radialog_tpu.decode.engine import (decode_bias_static_slot,
+                                            prefill)
+    from radialog_tpu.models.llama import llama_apply, llama_init
+
+    monkeypatch.setenv("RADIALOG_FLASH_DECODE_FORCE", "interpret")
+    # opt in to in-kernel cache writes (default OFF — measured
+    # perf-neutral-to-negative at the serving default, docs/PERF.md)
+    monkeypatch.setenv("RADIALOG_DEFER_KV", "1")
+    rng = np.random.default_rng(0)
+    params = llama_init(jax.random.PRNGKey(0), CFG)
+    qp = quantize_llama_host(jax.tree_util.tree_map(np.asarray, params))
+    toks = jnp.asarray(rng.integers(3, 200, (3, 8)), jnp.int32)
+    lens = jnp.asarray([8, 6, 7], jnp.int32)
+    t = 8
+
+    cache, _ = prefill(qp, CFG, toks, lens, 16, kv_int8=True)
+    forced = jnp.asarray(rng.integers(3, 200, (3, 3)), jnp.int32)
+    c_def, c_per = cache, cache
+    for s in range(3):
+        bias = decode_bias_static_slot(lens, t, s, 16)
+        pos = (lens + s)[:, None]
+        lo_d, c_def = llama_apply(qp, CFG, forced[s][:, None], pos, bias,
+                                  cache=c_def, write_pos=t + s,
+                                  lengths=lens, slot_info=(t, s))
+        lo_p, c_per = llama_apply(qp, CFG, forced[s][:, None], pos, bias,
+                                  cache=c_per, write_pos=t + s,
+                                  lengths=lens, slot_info=(t, s),
+                                  defer_kv=False)
+        sig = float(np.std(np.asarray(lo_p)))
+        err = float(np.abs(np.asarray(lo_d) - np.asarray(lo_p)).max()) / sig
+        assert err < 0.15, f"step {s}: {err:.3f} sigma"
+        for name in ("k", "v", "k_scale", "v_scale"):
+            a = np.asarray(getattr(c_def, name))[0, :, t + s]
+            b = np.asarray(getattr(c_per, name))[0, :, t + s]
+            np.testing.assert_array_equal(a, b, err_msg=f"{name} step {s}")
+
+    dp = DecodeParams(max_new_tokens=4, eos_token_id=1)
+    res = generate(qp, CFG, toks, lens, dp, cache_len=16, kv_int8=True)
+    assert res.tokens.shape == (3, 4)
