@@ -78,7 +78,7 @@ def flash_decode_available() -> bool:
 
 
 def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
-                   m_ref, l_ref, acc_ref, ef, scale):
+                   m_ref, l_ref, acc_ref, ef, scale, g: int = 0):
     """One online-softmax accumulation over a KV block.
 
     k2d/v2d: (rows, H*D) int8; ks_row/vs_row: (rows, H) float scales;
@@ -86,6 +86,8 @@ def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
     head c's 128 q values at lanes [c*D, (c+1)*D), zeros elsewhere — built
     ONCE PER LANE into VMEM scratch, see _kernel); qs: (1, H);
     ef: (H, H*D) f32 head-expansion mask (E[c, j] = j//D == c, also scratch).
+    g: STATIC row into the (gl, ...) m/l/acc stats scratch — the lane-grouped
+    kernel (gl > 1) keeps one online-softmax state per lane of the group.
     """
     # ---- scores on the int8 MXU, NT contraction over the H*D lanes:
     #      (rows, H*D) x (H, H*D) -> (rows, H) int32
@@ -97,14 +99,15 @@ def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
     scores = scores * ks_row.astype(jnp.float32) * qs * scale
     scores = jnp.where(valid, scores, NEG_INF)
 
-    m_prev = m_ref[:]                         # (1, H)
+    m_prev = m_ref[g:g + 1, :]                # (1, H)
     m_cur = jnp.max(scores, axis=0, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)           # (1, H)
     p = jnp.exp(scores - m_new)               # (rows, H)
     p = jnp.where(valid, p, 0.0)
-    l_ref[:] = l_ref[:] * alpha + p.sum(axis=0, keepdims=True)
-    m_ref[:] = m_new
+    l_ref[g:g + 1, :] = (l_ref[g:g + 1, :] * alpha
+                         + p.sum(axis=0, keepdims=True))
+    m_ref[g:g + 1, :] = m_new
 
     # ---- values on the bf16 MXU: pv^T @ V2d -> (H, H*D), keep block diag
     pv = (p * vs_row.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -119,13 +122,13 @@ def _process_block(k2d, ks_row, v2d, vs_row, valid, qbt, qs,
     alpha_exp = jax.lax.dot_general(
         alpha, ef,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha_exp + block_o
+    acc_ref[g:g + 1, :] = acc_ref[g:g + 1, :] * alpha_exp + block_o
 
 
 def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
             *refs,
             bs: int, heads: int, head_dim: int, scale: float,
-            n0: int = 0, nc: int = 0, nw: int = 0):
+            n0: int = 0, nc: int = 0, nw: int = 0, gl: int = 1):
     """Per-lane validity is interval-encoded in the prefetched scalars
     (B = num lanes): slot s of lane b is valid iff
 
@@ -164,7 +167,18 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
     the DUS writes overlap the kernels' DMA queues, so it stays OPT-IN
     (docs/PERF.md "In-kernel cache writes"). The one-stacked-write
     alternative made XLA double-buffer the 2.6 GB cache carry
-    (read-by-32-kernels-then-write) and OOMed at batch 56."""
+    (read-by-32-kernels-then-write) and OOMed at batch 56.
+
+    gl: LANES PER GRID PROGRAM (lane grouping). The per-lane grid pays a
+    fixed per-grid-step cost (~1-2 us of bookkeeping per program on this
+    part, docs/PERF.md flash-bs A/B) that at B=56 x 3 steps rivals the
+    kernel's DMA time; grouping gl lanes into one program divides the
+    step count by gl while DMA'ing the same cache bytes in gl-times
+    larger transfers. Per-lane state lives in row g of the (gl, ...)
+    stats scratch; the group's block index map clamps at the MAX live
+    bound over its lanes (static-slot serving: b1 identical across
+    lanes, so elision granularity is nearly unchanged). nc/nw require
+    gl == 1 (enforced by the wrapper)."""
     refs = list(refs)
     q8_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref = refs[:6]
     at = 6
@@ -189,9 +203,10 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         # Per-lane scratch builds (s is the inner grid dim, so s_i == 0 runs
-        # once per lane): the head-expansion mask E[c, j] = (j // d == c)
-        # and the block-diagonal q — the flat (1, hd) q row broadcast along
-        # sublanes, masked by E. Building once per lane instead of every
+        # once per lane group): the head-expansion mask E[c, j] = (j//d == c)
+        # and the block-diagonal q — each lane's flat (1, hd) q row broadcast
+        # along sublanes, masked by E, into rows [g*h, (g+1)*h) of the
+        # (gl*h, hd) scratch. Building once per group instead of every
         # grid step drops ~5 VPU passes over (h, hd) per KV block. (The i32
         # select: Mosaic crashes on an int8 select whose on-true operand is
         # a sublane broadcast.)
@@ -199,14 +214,19 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
         e_col_h = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1) // d
         e_mask = e_row == e_col_h
         ef_ref[:] = e_mask.astype(jnp.float32)
-        qbt_ref[:] = jnp.where(e_mask, q8_ref[0].astype(jnp.int32),
-                               0).astype(jnp.int8)           # (h, hd)
+        for g in range(gl):
+            qbt_ref[g * h:(g + 1) * h, :] = jnp.where(
+                e_mask, q8_ref[g].astype(jnp.int32), 0).astype(jnp.int8)
 
-    b = pl.program_id(0)
-    nb = pl.num_programs(0)
-    length = lens_ref[b]
-    a1, b1 = lens_ref[nb + b], lens_ref[2 * nb + b]
-    a2, b2 = lens_ref[3 * nb + b], lens_ref[4 * nb + b]
+    b = pl.program_id(0)          # lane-GROUP index (gl lanes per program)
+    nb = pl.num_programs(0) * gl  # total lanes B (scalar layout stride)
+
+    def lane_scalars(g):
+        ln = b * gl + g
+        return (lens_ref[ln], lens_ref[nb + ln], lens_ref[2 * nb + ln],
+                lens_ref[3 * nb + ln], lens_ref[4 * nb + ln])
+
+    length, a1, b1, a2, b2 = lane_scalars(0)
 
     if n0:
         p0 = lens_ref[5 * nb]
@@ -215,10 +235,12 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
         def _shared():
             p0p = k0_ref.shape[1]
             row = jax.lax.broadcasted_iota(jnp.int32, (p0p, h), 0)
-            _process_block(k0_ref[0], ks0_ref[0][:, :h], v0_ref[0],
-                           vs0_ref[0][:, :h],
-                           row < p0, qbt_ref[:], qs_ref[0],
-                           m_ref, l_ref, acc_ref, ef_ref[:], scale)
+            for g in range(gl):
+                _process_block(k0_ref[0], ks0_ref[0][:, :h], v0_ref[0],
+                               vs0_ref[0][:, :h],
+                               row < p0, qbt_ref[g * h:(g + 1) * h, :],
+                               qs_ref[g], m_ref, l_ref, acc_ref,
+                               ef_ref[:], scale, g=g)
 
     if nc:
         @pl.when(s_i == 0)
@@ -283,36 +305,46 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
                 vs_ref[0, 0, pl.ds(off, 8), :].astype(jnp.float32)
             ).astype(vso_ref.dtype)
 
-    # Live-bound clamp: slots beyond this lane's last valid row can never
+    # Live-bound clamp: slots beyond this GROUP's last valid row can never
     # contribute, so later blocks are DEAD — their index maps clamp to the
     # last live block (same index as the previous grid step => the pipeline
     # elides the DMA) and compute is skipped here. Early decode steps read
-    # ~prompt_pad rows instead of the whole cache.
-    last_live = jnp.maximum(jnp.maximum(length - 1, b1), b2)
+    # ~prompt_pad rows instead of the whole cache. With gl > 1 the bound is
+    # the max over the group's lanes (index map group_idx below matches).
+    group_live = jnp.maximum(jnp.maximum(length - 1, b1), b2)
+    for g in range(1, gl):
+        lg, a1g, b1g, a2g, b2g = lane_scalars(g)
+        group_live = jnp.maximum(group_live,
+                                 jnp.maximum(jnp.maximum(lg - 1, b1g), b2g))
 
-    @pl.when((s_i >= n0) & ((s_i - n0) * bs <= last_live))
+    @pl.when((s_i >= n0) & ((s_i - n0) * bs <= group_live))
     def _lane():
         s_pos = ((s_i - n0) * bs
                  + jax.lax.broadcasted_iota(jnp.int32, (bs, h), 0))
-        valid = ((s_pos < length) | ((s_pos >= a1) & (s_pos <= b1))
-                 | ((s_pos >= a2) & (s_pos <= b2)))
-        # stored scales are lane-padded (..., SL >= h) — slice the live heads
-        _process_block(k8_ref[0, 0], ks_ref[0, 0][:, :h], v8_ref[0, 0],
-                       vs_ref[0, 0][:, :h], valid, qbt_ref[:], qs_ref[0],
-                       m_ref, l_ref, acc_ref, ef_ref[:], scale)
+        for g in range(gl):
+            lg, a1g, b1g, a2g, b2g = lane_scalars(g)
+            valid = ((s_pos < lg) | ((s_pos >= a1g) & (s_pos <= b1g))
+                     | ((s_pos >= a2g) & (s_pos <= b2g)))
+            # stored scales are lane-padded (..., SL >= h) — slice live heads
+            _process_block(k8_ref[0, g], ks_ref[0, g][:, :h], v8_ref[0, g],
+                           vs_ref[0, g][:, :h], valid,
+                           qbt_ref[g * h:(g + 1) * h, :], qs_ref[g],
+                           m_ref, l_ref, acc_ref, ef_ref[:], scale, g=g)
 
     @pl.when(s_i == pl.num_programs(1) - 1)
     def _finish():
         # broadcast 1/l to lanes through the same E matmul (f32 for accuracy)
-        inv_l = 1.0 / jnp.maximum(l_ref[:], 1e-30)          # (1, H)
-        inv_exp = jax.lax.dot_general(
-            inv_l, ef_ref[:],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        o_ref[0] = (acc_ref[:] * inv_exp).astype(o_ref.dtype)
+        for g in range(gl):
+            inv_l = 1.0 / jnp.maximum(l_ref[g:g + 1, :], 1e-30)   # (1, H)
+            inv_exp = jax.lax.dot_general(
+                inv_l, ef_ref[:],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            o_ref[g] = (acc_ref[g:g + 1, :] * inv_exp).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("layer_idx", "scale", "bs",
-                                             "interpret", "write_cache"))
+                                             "interpret", "write_cache",
+                                             "gl"))
 def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                       v8: jax.Array, vs: jax.Array, lengths: jax.Array,
                       prompt_pad=None, step=None, layer_idx: int = 0,
@@ -320,7 +352,8 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                       bs: int | None = None, interpret: bool = False,
                       shared=None, p0=None,
                       gen_intervals=None, current=None,
-                      write_cache: bool = False):
+                      write_cache: bool = False,
+                      gl: int | None = None):
     """Single-token attention over one layer of a FULL stacked int8 cache.
 
     q: (B, H, D) float; k8/v8: (L, B, S, H*D) int8 (token-flat layout);
@@ -375,6 +408,13 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     the b56 serving default (the DUS writes overlap the kernels' DMA
     queues; docs/PERF.md "In-kernel cache writes"), so it is OPT-IN.
     The caller must guarantee slot < S.
+
+    gl: lanes per grid program (default: RADIALOG_FLASH_LANES, else 1) —
+    groups gl lanes into one program to amortize the ~1-2 us fixed
+    per-grid-step cost over gl-times larger DMAs (same total bytes; the
+    group's dead-block clamp uses the max live bound over its lanes).
+    Resolved DOWN to the largest divisor of B <= the request; forced to 1
+    when current/write_cache is used (the slab write is per-lane).
     """
     b, h, d = q.shape
     hd = h * d
@@ -404,6 +444,13 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     assert bs >= 1 and s_len % bs == 0, (s_len, bs)
     li = layer_idx
     n0 = 1 if shared is not None else 0
+    if gl is None:
+        gl = int(os.environ.get("RADIALOG_FLASH_LANES", "1"))
+    if current is not None or write_cache:
+        gl = 1          # the current-row/slab-write paths are per-lane
+    gl = max(1, min(gl, b))
+    while b % gl:       # largest divisor of B <= the request
+        gl -= 1
 
     # per-head symmetric int8 quantization of q, kept FLAT (B, hd): the
     # block-diagonal expansion happens inside the kernel (a sublane
@@ -438,24 +485,30 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
 
     def lane_idx(bi, si, sc):
         # clamp below n0 (the shared step reuses lane block 0) AND above the
-        # lane's last LIVE block (later slots are dead — repeating the
-        # previous index elides the DMA; the kernel skips their compute)
-        last_live = jnp.maximum(jnp.maximum(sc[bi] - 1, sc[2 * nb + bi]),
-                                sc[4 * nb + bi]) // bs
+        # GROUP's last LIVE block (later slots are dead — repeating the
+        # previous index elides the DMA; the kernel skips their compute).
+        # bi is the lane-GROUP index; the bound is the max over its lanes.
+        last_live = None
+        for g in range(gl):
+            ln = bi * gl + g
+            lg = jnp.maximum(jnp.maximum(sc[ln] - 1, sc[2 * nb + ln]),
+                             sc[4 * nb + ln])
+            last_live = lg if last_live is None else jnp.maximum(last_live,
+                                                                 lg)
         return jnp.minimum(jnp.maximum(si - n0, 0),
-                           jnp.maximum(last_live, 0))
+                           jnp.maximum(last_live // bs, 0))
 
     in_specs = [
         # q8/qs index maps ignore s_i -> DMA'd once per sequence
-        pl.BlockSpec((1, 1, hd), lambda bi, si, sc: (bi, 0, 0)),
-        pl.BlockSpec((1, 1, h), lambda bi, si, sc: (bi, 0, 0)),
-        pl.BlockSpec((1, 1, bs, hd),
+        pl.BlockSpec((gl, 1, hd), lambda bi, si, sc: (bi, 0, 0)),
+        pl.BlockSpec((gl, 1, h), lambda bi, si, sc: (bi, 0, 0)),
+        pl.BlockSpec((1, gl, bs, hd),
                      lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
-        pl.BlockSpec((1, 1, bs, sl),
+        pl.BlockSpec((1, gl, bs, sl),
                      lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
-        pl.BlockSpec((1, 1, bs, hd),
+        pl.BlockSpec((1, gl, bs, hd),
                      lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
-        pl.BlockSpec((1, 1, bs, sl),
+        pl.BlockSpec((1, gl, bs, sl),
                      lambda bi, si, sc: (li, bi, lane_idx(bi, si, sc), 0)),
     ]
     operands = [q8, qscale[:, None, :], k8, ks, v8, vs]
@@ -496,7 +549,7 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         ]
         operands += [k0_8, ks0, v0_8, vs0]
 
-    out_specs = [pl.BlockSpec((1, 1, hd), lambda bi, si, sc: (bi, 0, 0))]
+    out_specs = [pl.BlockSpec((gl, 1, hd), lambda bi, si, sc: (bi, 0, 0))]
     out_shape = [jax.ShapeDtypeStruct((b, 1, hd), q.dtype)]
     aliases = {}
     nw = 0
@@ -530,9 +583,9 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         # cache buffers alias the four slab outputs (in-place row insert)
         aliases = {3: 1, 4: 2, 5: 3, 6: 4}
 
-    grid = (b, n0 + s_len // bs)
+    grid = (b // gl, n0 + s_len // bs)
     kernel = functools.partial(_kernel, bs=bs, heads=h, head_dim=d,
-                               scale=scale, n0=n0, nc=nc, nw=nw)
+                               scale=scale, n0=n0, nc=nc, nw=nw, gl=gl)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -541,17 +594,25 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             in_specs=in_specs,
             out_specs=out_specs if write_cache else out_specs[0],
             scratch_shapes=[
-                pltpu.VMEM((1, h), jnp.float32),
-                pltpu.VMEM((1, h), jnp.float32),
-                pltpu.VMEM((1, hd), jnp.float32),
-                pltpu.VMEM((h, hd), jnp.int8),      # per-lane block-diag q
-                pltpu.VMEM((h, hd), jnp.float32),   # head-expansion mask E
+                pltpu.VMEM((gl, h), jnp.float32),
+                pltpu.VMEM((gl, h), jnp.float32),
+                pltpu.VMEM((gl, hd), jnp.float32),
+                pltpu.VMEM((gl * h, hd), jnp.int8),  # per-lane block-diag q
+                pltpu.VMEM((h, hd), jnp.float32),    # head-expansion mask E
             ],
         ),
         out_shape=out_shape if write_cache else out_shape[0],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # Mosaic's default scoped-vmem limit is 16 MB; lane-grouped
+            # blocks (gl x bs rows, double-buffered k+v) legitimately
+            # exceed it (gl=8 x bs=192 needs ~28 MB of a 128 MB VMEM).
+            # Only raised when needed — a higher limit costs Mosaic
+            # allocator time on every compile.
+            **({"vmem_limit_bytes": 100 * 1024 * 1024}
+               if 2 * 2 * gl * bs * (hd + 2 * sl) > 14 * 1024 * 1024
+               else {})),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_len * d,
             bytes_accessed=2 * b * s_len * hd,

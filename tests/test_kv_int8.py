@@ -470,3 +470,50 @@ def test_deferred_kv_writes_match_per_layer_writes(monkeypatch):
     dp = DecodeParams(max_new_tokens=4, eos_token_id=1)
     res = generate(qp, CFG, toks, lens, dp, cache_len=16, kv_int8=True)
     assert res.tokens.shape == (3, 4)
+
+
+def test_flash_decode_int8_lane_grouping_matches_ungrouped():
+    """gl > 1 (lane grouping, ops/flash_decode.py): grouping lanes into one
+    grid program is a pure scheduling change — outputs must be BITWISE equal
+    to gl=1 (identical accumulation order per lane: same blocks, same
+    order, same fp ops). Covers the static-slot mask, per-lane intervals,
+    a shared prefix, and a non-divisor request (resolved down)."""
+    from radialog_tpu.models.llama import pad_scale_lanes
+    from radialog_tpu.ops.flash_decode import flash_decode_int8
+
+    L, B, S, H, D = 2, 6, 32, 4, 8
+    rng = np.random.default_rng(3)
+    k8, ks = quantize_kv(jnp.asarray(rng.normal(size=(L, B, S, H, D)),
+                                     jnp.float32))
+    v8, vs = quantize_kv(jnp.asarray(rng.normal(size=(L, B, S, H, D)),
+                                     jnp.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    lengths = jnp.asarray([5, 12, 9, 3, 11, 7], jnp.int32)
+    ksp, vsp = pad_scale_lanes(ks), pad_scale_lanes(vs)
+    k8f, v8f = k8.reshape(L, B, S, H * D), v8.reshape(L, B, S, H * D)
+    P0p = 8
+    k0_8, ks0 = quantize_kv(jnp.asarray(rng.normal(size=(1, P0p, H, D)),
+                                        jnp.float32))
+    v0_8, vs0 = quantize_kv(jnp.asarray(rng.normal(size=(1, P0p, H, D)),
+                                        jnp.float32))
+    sh = (k0_8.reshape(1, P0p, H * D), ks0, v0_8.reshape(1, P0p, H * D), vs0)
+
+    cases = [
+        dict(prompt_pad=12, step=2),
+        dict(prompt_pad=12, step=2, shared=sh, p0=5),
+        dict(gen_intervals=(jnp.asarray([12, 13, 12, 20, 14, 12], jnp.int32),
+                            jnp.asarray([14, 15, 13, 24, 17, 14], jnp.int32),
+                            jnp.asarray([0, 0, 0, 16, 0, 0], jnp.int32),
+                            jnp.asarray([-1, -1, -1, 17, -1, -1],
+                                        jnp.int32))),
+    ]
+    for kw in cases:
+        ref = flash_decode_int8(q, k8f, ksp, v8f, vsp, lengths,
+                                layer_idx=1, bs=8, interpret=True, **kw)
+        for gl in (2, 3, 4, 6):  # 4 resolves down to 3 (6 % 4 != 0)
+            got = flash_decode_int8(q, k8f, ksp, v8f, vsp, lengths,
+                                    layer_idx=1, bs=8, interpret=True,
+                                    gl=gl, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(ref),
+                err_msg=f"gl={gl} kw={list(kw)}")
