@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llama import (KVCache, LlamaConfig, _index_lora, _mlp, _proj,
-                            qkv_proj)
+                            _psum_if, qkv_proj)
 from ..ops.layers import (DTypePolicy, FP32, embedding_lookup, linear,
                           rmsnorm)
 from ..ops.rotary import apply_rope, rope_tables
@@ -88,11 +88,20 @@ def _beam_forward(params: Dict, cfg: LlamaConfig, last_tok: jax.Array,
                   positions: jax.Array, pk: jax.Array, pv: jax.Array,
                   prompt_bias: jax.Array, gk: jax.Array, gv: jax.Array,
                   step: jax.Array, beams: int,
-                  lora: Optional[Dict], policy: DTypePolicy
+                  lora: Optional[Dict], policy: DTypePolicy,
+                  axis_name: Optional[str] = None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decode step at B*K rows against the split cache. Writes each
     layer's new K/V into generated slot `step` and returns
-    (logits (B*K, V), gk, gv)."""
+    (logits (B*K, V), gk, gv).
+
+    axis_name: tensor-parallel mesh axis when running per-shard under
+    shard_map (parallel/tp_serving.py make_tp_generate(num_beams>1)) —
+    cfg then holds the LOCAL head/FFN counts and the row-parallel wo/down
+    partial outputs are psum'd over the axis before each residual add,
+    exactly as llama_apply does. The beam bookkeeping (top_k, reorder
+    gather) runs on the psum'd replicated logits, so every shard picks
+    identical beams and permutes its local generated KV consistently."""
     x = embedding_lookup(params["embed"], last_tok[:, None]).astype(policy.compute)
     rope = rope_tables(cfg.head_dim, cfg.max_position, cfg.rope_theta)
     lora_scale = lora["scale"] if lora is not None else None
@@ -113,9 +122,10 @@ def _beam_forward(params: Dict, cfg: LlamaConfig, last_tok: jax.Array,
         o = _split_attention(q, pk_l.astype(x.dtype), pv_l.astype(x.dtype),
                              gk_l.astype(x.dtype), gv_l.astype(x.dtype),
                              prompt_bias, gen_bias, cfg.num_heads, beams)
-        x = x + _proj(lp, ll, "wo", o, lora_scale, policy)
+        x = x + _psum_if(_proj(lp, ll, "wo", o, lora_scale, policy),
+                         axis_name)
         h2 = rmsnorm(lp["post_ln"], x, cfg.rms_eps)
-        x = x + _mlp(lp, h2, policy)
+        x = x + _psum_if(_mlp(lp, h2, policy), axis_name)
         return x, gk_l, gv_l
 
     if isinstance(params["layers"], (list, tuple)):
@@ -154,7 +164,8 @@ def beam_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
                 prompt_pad: int, dp: DecodeParams, num_beams: int,
                 lora: Optional[Dict] = None,
                 policy: DTypePolicy = FP32,
-                length_penalty: float = 1.0) -> GenerationResult:
+                length_penalty: float = 1.0,
+                axis_name: Optional[str] = None) -> GenerationResult:
     """cache: bf16 prompt KV at batch B (only slots [0, prompt_pad) are
     read — a larger serving cache may be passed and is sliced)."""
     if cache.quantized:
@@ -206,7 +217,7 @@ def beam_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
         pos = (lengths_bk + step)[:, None]
         logits, gk, gv = _beam_forward(params, cfg, last_tok, pos, pk, pv,
                                        prompt_bias, gk, gv, step, k,
-                                       lora, policy)
+                                       lora, policy, axis_name=axis_name)
         logp = jax.nn.log_softmax(logits, axis=-1)
         # finished beams may only extend with EOS at no cost
         eos_only = jnp.full((vocab,), NEG_INF).at[eos].set(0.0)
@@ -247,15 +258,20 @@ def generate_beam(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
                   lengths: jax.Array, dp: DecodeParams, num_beams: int,
                   img_embs: Optional[jax.Array] = None,
                   lora: Optional[Dict] = None, policy: DTypePolicy = FP32,
-                  cache_len: Optional[int] = None) -> GenerationResult:
+                  cache_len: Optional[int] = None,
+                  axis_name: Optional[str] = None) -> GenerationResult:
     """Prefill once at batch B, then beam-decode at B*num_beams.
 
     cache_len is accepted for API compatibility with generate() but the
     split-cache design sizes its own buffers: prompt KV at the padded
-    prompt length, generated KV at max_new_tokens."""
+    prompt length, generated KV at max_new_tokens.
+
+    axis_name: TP mesh axis when called per-shard under shard_map with a
+    head-sharded cfg (parallel/tp_serving.py)."""
     del cache_len
     t = tokens.shape[1]
     cache, last = prefill(params, cfg, tokens, lengths, t,
-                          img_embs=img_embs, lora=lora, policy=policy)
+                          img_embs=img_embs, lora=lora, policy=policy,
+                          axis_name=axis_name)
     return beam_decode(params, cfg, cache, last, lengths, t, dp, num_beams,
-                       lora=lora, policy=policy)
+                       lora=lora, policy=policy, axis_name=axis_name)

@@ -9,7 +9,7 @@ Replaces pycocoevalcap (MIMICEvalCap, ReportDataset.py:384-452):
     alpha=.9 beta=3 gamma=.5 (the Lavie-Agarwal 2007 defaults nltk also
     uses). The alignment semantics are bit-identical to nltk's
     meteor_score given the same synonym data — pinned by
-    tests/test_nlg.py::test_meteor_matches_nltk_implementation, which
+    tests/test_eval.py::test_meteor_matches_nltk_implementation, which
     injects our synonym table into nltk as a wordnet substitute. The
     synonym stage uses a vendored radiology-focused table
     (METEOR_SYNONYMS below) because the full WordNet corpus data is not

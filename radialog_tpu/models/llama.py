@@ -683,7 +683,13 @@ def llama_apply(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     "In-kernel cache writes"). The written slot row is identical either
     way; rows past the write slot inside its 8-row slab are undefined
     under the kernel write (each is overwritten in turn as THE slot
-    before any mask can see it).
+    before any mask can see it). CONTRACT: the defer branch derives its
+    write slot from slot_info — the kernel is passed (pp, st-1) and
+    writes at b1[b]+1 = prompt_pad + step — and IGNORES write_pos;
+    callers combining defer_kv with an explicit write_pos must keep
+    write_pos == prompt_pad + step (the engine's decode loop does,
+    decode/engine.py:374) or the two write paths would target different
+    slots.
 
     tokens: (B, T); positions: (B, T) absolute positions for RoPE;
     bias: (B|1, 1, T, S) additive attention bias over the KV axis

@@ -415,6 +415,12 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     group's dead-block clamp uses the max live bound over its lanes).
     Resolved DOWN to the largest divisor of B <= the request; forced to 1
     when current/write_cache is used (the slab write is per-lane).
+    NOTE: like RADIALOG_FLASH_DECODE_FORCE/RADIALOG_FLASH_BS (and
+    RADIALOG_DEFER_KV in llama_apply), the env default is read at TRACE
+    time — the jit cache key does not include the env value, so flipping
+    it after the first compile in a process is ignored; pass gl= (a
+    static arg) explicitly, or set the env before the first call
+    (tools/bench_sweep.py A/Bs in fresh processes for this reason).
     """
     b, h, d = q.shape
     hd = h * d

@@ -273,7 +273,8 @@ def make_tp_generate(mesh: Mesh, param_specs: Dict, cfg: LlamaConfig,
                      policy: DTypePolicy = BF16,
                      cache_len: Optional[int] = None,
                      kv_int8: bool = True,
-                     shared_prefix: bool = False):
+                     shared_prefix: bool = False,
+                     num_beams: int = 1):
     """Compile-once factory for the sharded serving step: returns
     fn(gparams, tokens, lengths, img_embs=None, glora=None[,
     prefix_tokens=...]) -> GenerationResult. Reuse the SAME returned
@@ -285,9 +286,26 @@ def make_tp_generate(mesh: Mesh, param_specs: Dict, cfg: LlamaConfig,
     — the batch-wide common prompt boilerplate) plus per-lane REMAINDER
     tokens/lengths, and each shard runs generate_shared_prefix over its
     head shard (decode/engine.py; the per-shard prefix K/V covers the
-    shard's local heads, merged by the same per-shard softmax)."""
+    shard's local heads, merged by the same per-shard softmax).
+
+    num_beams>1 lifts the quality path (decode/beam.py split-cache beam
+    search — the reference's --num_beams, modeling_llama_imgemb.py:795-836)
+    onto the TP shards: each shard prefills its local heads into a bf16
+    prompt cache and beam-decodes its local generated KV; the reorder
+    gather is driven by the psum'd replicated logits, so all shards pick
+    identical beams. Requires kv_int8=False (beam is the bf16 quality
+    path) and is exclusive with shared_prefix."""
     if dp.do_sample:
-        raise NotImplementedError("tp_generate is greedy/beamless")
+        raise NotImplementedError(
+            "tp_generate is deterministic (greedy or beam); per-shard RNG "
+            "streams under sampling are a separate design decision")
+    if num_beams > 1:
+        if kv_int8:
+            raise ValueError("beam search uses the bf16 KV cache (quality "
+                             "path); build the factory with kv_int8=False")
+        if shared_prefix:
+            raise ValueError("num_beams>1 and shared_prefix are exclusive "
+                             "(the beam split-cache owns its prompt region)")
     n_model = mesh.shape[MODEL_AXIS]
     cfg_local = shard_config(cfg, n_model)
     clen = cache_len
@@ -313,7 +331,13 @@ def make_tp_generate(mesh: Mesh, param_specs: Dict, cfg: LlamaConfig,
         lora_g = rest.pop(0) if has_lora else None
         local = _unstack(params, param_specs)
         lora_l = _unstack(lora_g, lora_specs) if has_lora else None
-        if shared_prefix:
+        if num_beams > 1:
+            from ..decode.beam import generate_beam
+            res = generate_beam(local, cfg_local, tokens, lengths, dp,
+                                num_beams, img_embs=imgs, lora=lora_l,
+                                policy=policy, cache_len=clen,
+                                axis_name=MODEL_AXIS)
+        elif shared_prefix:
             from ..decode.engine import generate_shared_prefix
             res = generate_shared_prefix(
                 local, cfg_local, prefix, tokens, lengths, dp,

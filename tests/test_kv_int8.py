@@ -423,6 +423,63 @@ def test_flash_decode_int8_write_cache_inserts_row():
                                           old[li, :, s_end:])
 
 
+def test_flash_decode_int8_write_cache_with_shared_prefix():
+    """write_cache=True COMBINED with a shared prefix (n0=1 and nw=1) — the
+    combination shared-prefix serving + RADIALOG_DEFER_KV=1 reaches in
+    production (llama_apply's defer branch threads shared_layer through).
+    Pins the _wcapture grid-step offset (s_i == n0 + s0//bs): the slab
+    recapture must account for the leading shared grid step, or rows below
+    the write slot would be read from the wrong block."""
+    from radialog_tpu.ops.flash_decode import flash_decode_int8
+    from radialog_tpu.models.llama import pad_scale_lanes
+
+    L, B, S, H, D, P0p = 2, 3, 32, 4, 8, 16
+    rng = np.random.default_rng(12)
+    k8, ks = quantize_kv(jnp.asarray(rng.normal(size=(L, B, S, H, D)),
+                                     jnp.float32))
+    v8, vs = quantize_kv(jnp.asarray(rng.normal(size=(L, B, S, H, D)),
+                                     jnp.float32))
+    k0, ks0 = quantize_kv(jnp.asarray(rng.normal(size=(1, P0p, H, D)),
+                                      jnp.float32))
+    v0, vs0 = quantize_kv(jnp.asarray(rng.normal(size=(1, P0p, H, D)),
+                                      jnp.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    lengths = jnp.asarray([5, 12, 9], jnp.int32)
+    prompt_pad, li = 12, 1
+    ksp, vsp = pad_scale_lanes(ks), pad_scale_lanes(vs)
+    k8f, v8f = k8.reshape(L, B, S, H * D), v8.reshape(L, B, S, H * D)
+    shared = (k0.reshape(1, P0p, H * D), pad_scale_lanes(ks0),
+              v0.reshape(1, P0p, H * D), pad_scale_lanes(vs0))
+    p0 = jnp.int32(11)
+
+    for step in (3, 11):         # slots 15 (r=7), 23 (r=7): recapture runs
+        slot = prompt_pad + step
+        cur = (k8f[li, :, slot:slot + 1], ksp[li, :, slot:slot + 1],
+               v8f[li, :, slot:slot + 1], vsp[li, :, slot:slot + 1])
+        k8z = k8f.at[:, :, slot].set(0)
+        v8z = v8f.at[:, :, slot].set(0)
+        ref = flash_decode_int8(q, k8f, ksp, v8f, vsp, lengths,
+                                prompt_pad, step, layer_idx=li, bs=8,
+                                interpret=True, shared=shared, p0=p0)
+        got, (k8n, ksn, v8n, vsn) = flash_decode_int8(
+            q, k8z, ksp, v8z, vsp, lengths, prompt_pad, step - 1,
+            layer_idx=li, bs=8, interpret=True, shared=shared, p0=p0,
+            current=cur, write_cache=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0.02, atol=3e-3)
+        for new, old, curv in ((k8n, k8z, cur[0]), (ksn, ksp, cur[1]),
+                               (v8n, v8z, cur[2]), (vsn, vsp, cur[3])):
+            new, old = np.asarray(new), np.asarray(old)
+            np.testing.assert_array_equal(new[li, :, slot],
+                                          np.asarray(curv)[:, 0])
+            np.testing.assert_array_equal(new[li, :, :slot],
+                                          old[li, :, :slot])
+            np.testing.assert_array_equal(new[1 - li], old[1 - li])
+            s_end = (slot // 8) * 8 + 8
+            np.testing.assert_array_equal(new[li, :, s_end:],
+                                          old[li, :, s_end:])
+
+
 def test_deferred_kv_writes_match_per_layer_writes(monkeypatch):
     """llama_apply's deferred-cache-write decode (4 stacked writes per
     forward instead of 4 per layer) vs the per-layer write path, both on

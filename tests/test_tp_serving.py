@@ -177,6 +177,58 @@ def test_tp_shared_prefix_int8_serving(serving_setup):
     assert (got == base_toks).mean() >= 0.8, (got, base_toks)
 
 
+@pytest.mark.slow
+def test_tp_beam_search(serving_setup):
+    """The quality path (decode/beam.py split-cache beam search) under TP —
+    round-4 weak #6's silently-missing capability. model=1 must reproduce
+    the unsharded generate_beam exactly (plumbing + psum no-op + identical
+    per-shard beam bookkeeping); model=2 is gated on first-token equality +
+    high agreement (cross-shard matmul splits reassociate the fp sums)."""
+    from radialog_tpu.decode.beam import generate_beam
+    from radialog_tpu.parallel.tp_serving import make_tp_generate
+
+    cfg, host, lora, tokens, lengths, img, dp, _ = serving_setup
+    qparams = quantize_llama_host(host)
+    base = generate_beam(qparams, cfg, jnp.asarray(tokens),
+                         jnp.asarray(lengths), dp, 3,
+                         img_embs=jnp.asarray(img), lora=lora, policy=FP32)
+    base_toks = np.asarray(base.tokens)
+
+    gp, specs = shard_quantized_llama(host, cfg, 1)
+    gl, lspecs = shard_lora(lora, cfg, 1)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    fn = make_tp_generate(mesh, specs, cfg, dp, has_img=True,
+                          lora_specs=lspecs, policy=FP32, kv_int8=False,
+                          num_beams=3)
+    res = fn(gp, tokens, lengths, img_embs=img, glora=gl)
+    np.testing.assert_array_equal(np.asarray(res.tokens), base_toks)
+
+    mesh2 = make_mesh(MeshSpec(data=4, model=2))
+    gp2, specs2 = shard_quantized_llama(host, cfg, 2)
+    gl2, lspecs2 = shard_lora(lora, cfg, 2)
+    fn2 = make_tp_generate(mesh2, specs2, cfg, dp, has_img=True,
+                           lora_specs=lspecs2, policy=FP32, kv_int8=False,
+                           num_beams=3)
+    res2 = fn2(gp2, tokens, lengths, img_embs=img, glora=gl2)
+    got = np.asarray(res2.tokens)
+    np.testing.assert_array_equal(got[:, 0], base_toks[:, 0])
+    assert (got == base_toks).mean() >= 0.8, (got, base_toks)
+
+
+def test_tp_beam_factory_validation():
+    """num_beams>1 demands the bf16 cache and excludes shared_prefix."""
+    from radialog_tpu.parallel.tp_serving import make_tp_generate
+
+    cfg = TINY_LLAMA
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    with pytest.raises(ValueError, match="bf16 KV cache"):
+        make_tp_generate(mesh, {}, cfg, DecodeParams(), kv_int8=True,
+                         num_beams=2)
+    with pytest.raises(ValueError, match="exclusive"):
+        make_tp_generate(mesh, {}, cfg, DecodeParams(), kv_int8=False,
+                         shared_prefix=True, num_beams=2)
+
+
 def test_shard_config_validation():
     cfg = TINY_LLAMA  # 4 heads
     sc = shard_config(cfg, 2)
