@@ -35,6 +35,14 @@ class EvalOptions:
     temperature: float = 1.0
     num_beams: int = 1
     do_corr: bool = False
+    corr_spec: int = 0      # >0: run the correction pass BATCHED through the
+    # speculative ring (decode/spec_ring.SpecRingBatcher, spec_k=corr_spec,
+    # 8 lanes) instead of the reference's batch-1 loop (test.py:440) —
+    # token-identical to greedy by the verify contract, fewer forwards
+    # because corrections quote the report being corrected (measured
+    # acceptance 2.5 tok/forward, tools/spec_acceptance.py; batched
+    # economics in docs/PERF.md "Batched speculative decoding"). bf16 KV
+    # only (forced inside the spec ring); test.py flag --corr_spec.
     do_cp_bin_qa: bool = False
     do_cp_all_qa: bool = False
     batch_size: int = EVAL_BATCH
@@ -151,12 +159,23 @@ def run_correction_pass(pipe, records, preds_history, pred_labels, gt_labels,
     prompts = correction_prompts(list(preds_history), CHEXPERT_COLS,
                                  pred_labels, gt_labels)
     corrected: List[str] = []
-    for i, prompt in enumerate(prompts):
-        embs = (emb_provider([records[i]["dicom"]])
+    if opts.corr_spec > 0:
+        # batched speculative ring: all correction turns stream through one
+        # SpecRingBatcher (token-identical to the batch-1 greedy loop)
+        embs = (np.concatenate([emb_provider([r["dicom"]]) for r in records])
                 if opts.use_embs and emb_provider else None)
-        decoded = pipe.generate_texts([prompt], img_embs=embs,
-                                      max_new_tokens=256)[0]
-        corrected.append(correction_extract(decoded, prompt))
+        decoded = pipe.generate_texts_ring(prompts, max_new_tokens=256,
+                                           lanes=8, img_embs=embs,
+                                           spec_k=opts.corr_spec)
+        corrected = [correction_extract(d, p)
+                     for d, p in zip(decoded, prompts)]
+    else:
+        for i, prompt in enumerate(prompts):
+            embs = (emb_provider([records[i]["dicom"]])
+                    if opts.use_embs and emb_provider else None)
+            decoded = pipe.generate_texts([prompt], img_embs=embs,
+                                          max_new_tokens=256)[0]
+            corrected.append(correction_extract(decoded, prompt))
 
     out_dir = Path(opts.output_dir)
     write_predictions_csv(

@@ -101,8 +101,10 @@ def _make_batcher(records: List[Dict], tokenizer, cfg: FinetuneConfig,
                 d = str(records[i].get("dicom", ""))
                 if d in emb_cache:
                     embs.append(np.asarray(emb_cache[d], np.float32))
-                else:  # deterministic placeholder (mock / missing cache)
-                    r = np.random.default_rng(abs(hash(d)) % (2 ** 32))
+                else:  # deterministic placeholder (mock / missing
+                    # cache); crc32 because str hash() is per-process random
+                    import zlib
+                    r = np.random.default_rng(zlib.crc32(d.encode()))
                     embs.append(r.normal(size=(llama_cfg.num_img_tokens,
                                                 llama_cfg.qformer_dim))
                                 .astype(np.float32))

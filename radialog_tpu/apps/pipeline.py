@@ -396,7 +396,9 @@ class RaDialogPipeline:
     def generate_texts_ring(self, prompts: Sequence[str],
                             max_new_tokens: Optional[int] = None,
                             lanes: int = 12,
-                            steps_per_call: int = 4) -> List[str]:
+                            steps_per_call: int = 4,
+                            img_embs: Optional[jax.Array] = None,
+                            spec_k: Optional[int] = None) -> List[str]:
         """generate_texts through the CONTINUOUS-BATCHING ring
         (decode/continuous.RingBatcher) instead of one fixed-batch
         executable — the teacher-LLM serving shape for instruct-data
@@ -405,25 +407,51 @@ class RaDialogPipeline:
         here requests of wildly different prompt lengths stream through a
         shared ring at eval batch width, test.py:279). Same greedy
         numerics as generate_texts; ordering of outputs matches
-        ``prompts``."""
+        ``prompts``.
+
+        img_embs: optional (len(prompts), n_img, qformer_dim) per-request
+        Q-Former embeddings, spliced at each prompt's <IMG> run at admit.
+        spec_k: route through the BATCHED SPECULATIVE ring
+        (decode/spec_ring.SpecRingBatcher, prompt-lookup drafts verified
+        k+1 wide) — token-identical to the plain ring, fewer forwards when
+        outputs quote their prompts (the correction pass, test.py:440-534;
+        measured economics in docs/PERF.md "Batched speculative
+        decoding"). Forces the bf16 KV cache (the int8 kernel's
+        two-interval mask cannot encode acceptance holes) and sizes the
+        ring for the zero-acceptance worst case: (k+1) slots per verify,
+        ~ (max_new/spc rounded up + spc) * (k+1) slots per lane."""
         from ..decode.continuous import RingBatcher
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
         max_new = max_new_tokens or self.cfg.max_new_tokens
         tpad = max(-(-max(len(x) for x in ids) // 32) * 32, 32)
-        # ring must exceed a session's chunk-rounded span (continuous.py)
-        ring = (-(-max(max_new - 1, 1) // steps_per_call) * steps_per_call
-                + steps_per_call)
-        ring = max(-(-ring // 32) * 32, 64)
+        nv = (-(-max(max_new - 1, 1) // steps_per_call) * steps_per_call
+              + steps_per_call)
         dp = DecodeParams(max_new_tokens=max_new,
                           eos_token_id=self.tokenizer.eos_token_id,
                           seed=self.cfg.seed)
-        rb = RingBatcher(self.llama, self.llama_cfg,
-                         lanes=min(lanes, len(ids)),
-                         cache_len=tpad + ring, prompt_len=tpad, dp=dp,
-                         lora=self.lora, policy=self.policy,
-                         steps_per_call=steps_per_call,
-                         kv_int8=self.cfg.use_kv_int8())
-        sids = [rb.submit(x) for x in ids]
+        if spec_k is not None:
+            from ..decode.spec_ring import SpecRingBatcher
+            ring = nv * (spec_k + 1) + (spec_k + 1)  # kp1-multiple by constr.
+            rb = SpecRingBatcher(self.llama, self.llama_cfg,
+                                 lanes=min(lanes, len(ids)),
+                                 cache_len=tpad + ring, prompt_len=tpad,
+                                 dp=dp, lora=self.lora, policy=self.policy,
+                                 steps_per_call=steps_per_call,
+                                 spec_k=spec_k)
+        else:
+            # ring must exceed a session's chunk-rounded span (continuous.py)
+            ring = max(-(-nv // 32) * 32, 64)
+            rb = RingBatcher(self.llama, self.llama_cfg,
+                             lanes=min(lanes, len(ids)),
+                             cache_len=tpad + ring, prompt_len=tpad, dp=dp,
+                             lora=self.lora, policy=self.policy,
+                             steps_per_call=steps_per_call,
+                             kv_int8=self.cfg.use_kv_int8())
+        embs = (None if img_embs is None
+                else jnp.asarray(img_embs).reshape(
+                    len(ids), 1, *jnp.asarray(img_embs).shape[-2:]))
+        sids = [rb.submit(x, img_embs=None if embs is None else embs[i])
+                for i, x in enumerate(ids)]
         done = rb.run()
         out = []
         for p, sid in zip(prompts, sids):

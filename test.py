@@ -29,6 +29,10 @@ def parse_args():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--do_corr", action="store_true", default=False)
+    p.add_argument("--corr_spec", type=int, default=0,
+                   help="k>0: batch the correction pass through the "
+                        "speculative ring (SpecRingBatcher, token-identical "
+                        "to the batch-1 greedy loop; docs/PERF.md)")
     p.add_argument("--do_cp_bin_qa", action="store_true", default=False)
     p.add_argument("--do_cp_all_qa", action="store_true", default=False)
     p.add_argument("--strat_eval", action="store_true", default=False)
@@ -112,8 +116,11 @@ def main():
             for d in dicoms:
                 if str(d) in cache:
                     rows.append(np.asarray(cache[str(d)]))
-                else:  # mock: deterministic per-dicom embedding
-                    r = np.random.default_rng(abs(hash(str(d))) % (2**32))
+                else:  # mock: deterministic per-dicom embedding (crc32, not
+                    # hash(): str hashing is randomized per process, which
+                    # made mock runs irreproducible across invocations)
+                    import zlib
+                    r = np.random.default_rng(zlib.crc32(str(d).encode()))
                     rows.append(r.normal(size=(cfg.num_img_tokens,
                                                 cfg.qformer_dim)).astype(np.float32))
             return np.stack(rows)
@@ -121,6 +128,7 @@ def main():
     opts = EvalOptions(
         use_embs=args.use_embs, do_sample=args.do_sample,
         temperature=args.temperature, do_corr=args.do_corr,
+        corr_spec=args.corr_spec,
         do_cp_bin_qa=args.do_cp_bin_qa, do_cp_all_qa=args.do_cp_all_qa,
         num_beams=args.num_beams,
         batch_size=args.batch_size, max_new_tokens=args.max_new_tokens,

@@ -122,3 +122,34 @@ class TestSpecRing:
         with pytest.raises(ValueError, match="greedy"):
             _spec_ring(dp=DecodeParams(max_new_tokens=8, eos_token_id=1,
                                        do_sample=True))
+
+
+def test_pipeline_correction_spec_ring_matches_batch1():
+    """The PRODUCTION trigger (round-4 verdict #4b): test.py --corr_spec
+    routes the correction pass through generate_texts_ring(spec_k=...) —
+    SpecRingBatcher with per-request image embeddings. Must be
+    token-identical to the reference-shaped batch-1 generate_texts loop
+    (fp32 CPU: associativity cannot flip argmaxes)."""
+    from radialog_tpu.apps.pipeline import PipelineConfig, RaDialogPipeline
+
+    pipe = RaDialogPipeline(PipelineConfig(mock=True, max_new_tokens=12))
+    cfg = pipe.llama_cfg
+    img_run = "<IMG>" * cfg.num_img_tokens
+    prompts = [
+        "A chat. USER: Image information: " + img_run
+        + " Report: there is pneumonia. Please correct it. ASSISTANT:",
+        "A chat. USER: Image information: " + img_run
+        + " Report: the lungs are clear with no effusion seen today."
+        + " Remove effusion. ASSISTANT:",
+        "A chat. USER: Image information: " + img_run
+        + " Short one. ASSISTANT:",
+    ]
+    rng = np.random.default_rng(7)
+    embs = rng.normal(size=(3, cfg.num_img_tokens,
+                            cfg.qformer_dim)).astype(np.float32)
+    plain = [pipe.generate_texts([p], img_embs=embs[i:i + 1],
+                                 max_new_tokens=12)[0]
+             for i, p in enumerate(prompts)]
+    spec = pipe.generate_texts_ring(prompts, max_new_tokens=12, lanes=3,
+                                    img_embs=embs, spec_k=3)
+    assert spec == plain
