@@ -409,10 +409,16 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     queues; docs/PERF.md "In-kernel cache writes"), so it is OPT-IN.
     The caller must guarantee slot < S.
 
-    gl: lanes per grid program (default: RADIALOG_FLASH_LANES, else 1) —
+    gl: lanes per grid program (default: RADIALOG_FLASH_LANES, else 4) —
     groups gl lanes into one program to amortize the ~1-2 us fixed
     per-grid-step cost over gl-times larger DMAs (same total bytes; the
     group's dead-block clamp uses the max live bound over its lanes).
+    Measured at the b56 serving default (round-5 A/B, runs=3 each):
+    gl=1 7.862, gl=2 8.034, gl=4 8.130 (the default, +3.4%), gl=7 7.911,
+    gl=8 7.905 reports/s — gains flatten then reverse as the grouped
+    (gl x bs)-row blocks grow past the double-buffering sweet spot
+    (docs/PERF.md "Lane grouping"). Bitwise-exact vs gl=1 on TPU at every
+    setting (tests + the round-5 smoke).
     Resolved DOWN to the largest divisor of B <= the request; forced to 1
     when current/write_cache is used (the slab write is per-lane).
     NOTE: like RADIALOG_FLASH_DECODE_FORCE/RADIALOG_FLASH_BS (and
@@ -451,7 +457,7 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     li = layer_idx
     n0 = 1 if shared is not None else 0
     if gl is None:
-        gl = int(os.environ.get("RADIALOG_FLASH_LANES", "1"))
+        gl = int(os.environ.get("RADIALOG_FLASH_LANES", "4"))
     if current is not None or write_cache:
         gl = 1          # the current-row/slab-write paths are per-lane
     gl = max(1, min(gl, b))
