@@ -272,10 +272,12 @@ def _split_even_odd(x8: jax.Array, kp: int) -> Tuple[jax.Array, jax.Array]:
 
 def _finish(acc, xs, packed: PackedQ4, lead, out_dtype):
     y = acc * xs[:, None]
-    y = y[:, :packed.n]
     if packed.b is not None:
-        y = y + packed.b.astype(jnp.float32)
-    return y.astype(out_dtype).reshape(*lead, packed.n)
+        y = y + jnp.pad(packed.b.astype(jnp.float32),
+                        (0, y.shape[-1] - packed.n))
+    # convert before the pad-slice (fusion-boundary ordering — see the
+    # matching note in ops/q8_matmul.py _finish): halves the rescale temp.
+    return y.astype(out_dtype)[:, :packed.n].reshape(*lead, packed.n)
 
 
 def q4_matmul_packed(x: jax.Array, packed: PackedQ4,

@@ -148,10 +148,15 @@ def _w8a8_tiled(x8: jax.Array, w_t: jax.Array, bm: int = 128,
 def _finish(acc, xs, packed: PackedQ8, lead, out_dtype):
     y = (acc.astype(jnp.float32) * xs[:, None]
          * packed.scale[None, :].astype(jnp.float32))
-    y = y[:, :packed.n]
     if packed.b is not None:
-        y = y + packed.b.astype(jnp.float32)
-    return y.astype(out_dtype).reshape(*lead, packed.n)
+        y = y + jnp.pad(packed.b.astype(jnp.float32),
+                        (0, y.shape[-1] - packed.n))
+    # convert BEFORE the pad-slice: the slice is a fusion boundary, and
+    # slicing first made XLA materialize the full f32 rescale product
+    # (f32[6912,4096] = 108 MB per matmul in the b48 prefill dump) before a
+    # separate convert — casting first keeps the fusion output in out_dtype
+    # (half the temp bytes; elementwise ops commute with the slice).
+    return y.astype(out_dtype)[:, :packed.n].reshape(*lead, packed.n)
 
 
 def q8_matmul_packed(x: jax.Array, packed: PackedQ8,

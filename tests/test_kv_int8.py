@@ -480,6 +480,9 @@ def test_flash_decode_int8_write_cache_with_shared_prefix():
                                           old[li, :, s_end:])
 
 
+@pytest.mark.slow  # 56s interpret-mode A/B of the OPT-IN defer path
+# (RADIALOG_DEFER_KV, default off); the kernel-level write contract stays
+# in the fast suite via the write_cache insert tests above
 def test_deferred_kv_writes_match_per_layer_writes(monkeypatch):
     """llama_apply's deferred-cache-write decode (4 stacked writes per
     forward instead of 4 per layer) vs the per-layer write path, both on
@@ -529,6 +532,9 @@ def test_deferred_kv_writes_match_per_layer_writes(monkeypatch):
     assert res.tokens.shape == (3, 4)
 
 
+@pytest.mark.slow  # 63s interpret-mode gl sweep; the production default
+# (gl=4) is exercised by every other interpret test since round 5, and the
+# TPU-side bitwise gl parity is pinned in the round-5 A/B (docs/PERF.md)
 def test_flash_decode_int8_lane_grouping_matches_ungrouped():
     """gl > 1 (lane grouping, ops/flash_decode.py): grouping lanes into one
     grid program is a pure scheduling change — outputs must be BITWISE equal
