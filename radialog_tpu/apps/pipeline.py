@@ -411,15 +411,17 @@ class RaDialogPipeline:
 
         img_embs: optional (len(prompts), n_img, qformer_dim) per-request
         Q-Former embeddings, spliced at each prompt's <IMG> run at admit.
-        spec_k: route through the BATCHED SPECULATIVE ring
-        (decode/spec_ring.SpecRingBatcher, prompt-lookup drafts verified
-        k+1 wide) — token-identical to the plain ring, fewer forwards when
-        outputs quote their prompts (the correction pass, test.py:440-534;
-        measured economics in docs/PERF.md "Batched speculative
-        decoding"). Forces the bf16 KV cache (the int8 kernel's
-        two-interval mask cannot encode acceptance holes) and sizes the
-        ring for the zero-acceptance worst case: (k+1) slots per verify,
-        ~ (max_new/spc rounded up + spc) * (k+1) slots per lane."""
+        spec_k: route through BATCHED SPECULATION
+        (decode/spec_ring.SpecCompactBatcher, prompt-lookup drafts
+        verified k+1 wide, accepted rows relocated to contiguous per-lane
+        frontiers after every verify) — token-identical to the plain ring,
+        fewer forwards when outputs quote their prompts (the correction
+        pass, test.py:440-534; measured economics in docs/PERF.md
+        "Batched speculative decoding"). The compacting design costs only
+        k+1 scratch slots over the plain-decode cache (the ring variant's
+        (k+1)-slots-per-verify sizing did NOT fit 8 lanes x 300 tokens
+        next to the 7B weights) and composes with either KV dtype; the
+        cache dtype follows the pipeline's kv_int8 setting."""
         from ..decode.continuous import RingBatcher
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
         max_new = max_new_tokens or self.cfg.max_new_tokens
@@ -430,14 +432,18 @@ class RaDialogPipeline:
                           eos_token_id=self.tokenizer.eos_token_id,
                           seed=self.cfg.seed)
         if spec_k is not None:
-            from ..decode.spec_ring import SpecRingBatcher
-            ring = nv * (spec_k + 1) + (spec_k + 1)  # kp1-multiple by constr.
-            rb = SpecRingBatcher(self.llama, self.llama_cfg,
-                                 lanes=min(lanes, len(ids)),
-                                 cache_len=tpad + ring, prompt_len=tpad,
-                                 dp=dp, lora=self.lora, policy=self.policy,
-                                 steps_per_call=steps_per_call,
-                                 spec_k=spec_k)
+            from ..decode.spec_ring import SpecCompactBatcher
+            # plain-decode-sized cache + (k+1) scratch; keep the parent
+            # ring-life guard satisfied (chunk-rounded span + headroom)
+            gen = max(-(-(max_new + spec_k + 1) // 32) * 32, nv + 32)
+            rb = SpecCompactBatcher(self.llama, self.llama_cfg,
+                                    lanes=min(lanes, len(ids)),
+                                    cache_len=tpad + gen, prompt_len=tpad,
+                                    dp=dp, lora=self.lora,
+                                    policy=self.policy,
+                                    steps_per_call=steps_per_call,
+                                    spec_k=spec_k,
+                                    kv_int8=self.cfg.use_kv_int8())
         else:
             # ring must exceed a session's chunk-rounded span (continuous.py)
             ring = max(-(-nv // 32) * 32, 64)

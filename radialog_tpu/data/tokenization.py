@@ -73,7 +73,11 @@ class WhitespaceTokenizer:
     def _word_id(self, w: str) -> int:
         if w == IMG_TOKEN:
             return self.img_token_id
-        i = 3 + (hash(w) % (self.vocab_size - 4))
+        # crc32, not hash(): str hashing is salted per process, which made
+        # mock runs irreproducible across invocations (same fix as the mock
+        # emb providers, round 5)
+        import zlib
+        i = 3 + (zlib.crc32(w.encode()) % (self.vocab_size - 4))
         return 3 if i == self.img_token_id else i  # keep <IMG> id exclusive
 
     def encode(self, text: str, add_bos: bool = True) -> List[int]:

@@ -153,3 +153,81 @@ def test_pipeline_correction_spec_ring_matches_batch1():
     spec = pipe.generate_texts_ring(prompts, max_new_tokens=12, lanes=3,
                                     img_embs=embs, spec_k=3)
     assert spec == plain
+
+
+class TestSpecCompact:
+    """SpecCompactBatcher (round-5): fixed scratch window + post-verify
+    relocation — plain-decode cache size, composes with the int8 KV cache."""
+
+    def _compact(self, **kw):
+        from radialog_tpu.decode.spec_ring import SpecCompactBatcher
+        kw.setdefault("lanes", 2)
+        kw.setdefault("cache_len", 96)     # 32 prompt + 60 gen + 4 window
+        kw.setdefault("prompt_len", 32)
+        kw.setdefault("dp", DP)
+        kw.setdefault("spec_k", 3)
+        kw.setdefault("steps_per_call", 2)
+        params = kw.pop("params", PARAMS)
+        return SpecCompactBatcher(params, CFG, **kw)
+
+    def test_staggered_sessions_match_serial(self):
+        rb = self._compact()
+        prompts = [_prompt(6, 1), _prompt(9, 2), _prompt(4, 3)]
+        sids = [rb.submit(prompts[0])]
+        rb.step()
+        sids.append(rb.submit(prompts[1]))
+        sids.append(rb.submit(prompts[2]))
+        finished = rb.run()
+        assert set(finished) == set(sids)
+        for sid, prompt in zip(sids, prompts):
+            assert finished[sid].tokens == _serial(prompt)
+        assert rb.verifies > 0
+
+    def test_matches_plain_ring_batcher(self):
+        """bf16 compact == plain RingBatcher tokens, lane for lane."""
+        prompts = [_prompt(7, 4), _prompt(5, 5)]
+        rb = RingBatcher(PARAMS, CFG, lanes=2, cache_len=96, prompt_len=32,
+                         dp=DP, steps_per_call=2)
+        for p in prompts:
+            rb.submit(p)
+        plain = rb.run()
+        cp = self._compact()
+        sids = [cp.submit(p) for p in prompts]
+        got = cp.run()
+        plain_by_prompt = sorted((tuple(s.tokens) for s in plain.values()))
+        got_by_prompt = sorted((tuple(got[s].tokens) for s in sids))
+        assert got_by_prompt == plain_by_prompt
+
+    def test_int8_kv_compact_runs_and_is_draft_invariant(self):
+        """THE capability the ring provably lacks: batched speculation over
+        the int8 KV cache. Token output must be invariant to the drafter
+        (oracle/junk/ngram all reduce to the model's own greedy stream
+        given exact verification + exact relocation) — fp32 CPU, identical
+        numerics path across runs, so bitwise equality is required."""
+        from radialog_tpu.ops.quant import quantize_llama_host
+        qp = quantize_llama_host(
+            jax.tree_util.tree_map(np.asarray, PARAMS))
+        prompts = [_prompt(6, 6), _prompt(9, 7)]
+
+        def junk(hist, hist_len, _k=3):
+            return jnp.ones((_k,), jnp.int32)
+
+        outs = []
+        for proposer in (None, junk):
+            cp = self._compact(params=qp, kv_int8=True, proposer=proposer)
+            sids = [cp.submit(p) for p in prompts]
+            fin = cp.run()
+            outs.append([fin[s].tokens for s in sids])
+        assert outs[0] == outs[1], (outs, "drafter changed int8 output")
+        assert all(len(t) >= 1 for t in outs[0])
+
+    def test_capacity_guards(self):
+        from radialog_tpu.decode.spec_ring import SpecCompactBatcher
+        with pytest.raises(ValueError, match="generation region"):
+            SpecCompactBatcher(PARAMS, CFG, lanes=1, cache_len=44,
+                               prompt_len=32, spec_k=3,
+                               dp=DecodeParams(max_new_tokens=16,
+                                               eos_token_id=1))
+        rb = self._compact()
+        with pytest.raises(ValueError, match="exceeds the generation"):
+            rb.validate_request(8, max_new_tokens=61)

@@ -55,6 +55,13 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="TINY_LLAMA on CPU: protocol smoke test, not a "
                          "measurement")
+    ap.add_argument("--compact", action="store_true",
+                    help="SpecCompactBatcher (fixed scratch window + "
+                         "post-verify relocation): plain-decode cache size "
+                         "instead of (k+1) slots/verify")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV cache (compact mode only — the ring's "
+                         "interval contract cannot encode acceptance holes)")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +74,7 @@ def main() -> None:
     from bench import build_serving_params
     from radialog_tpu.decode.continuous import RingBatcher
     from radialog_tpu.decode.engine import DecodeParams
-    from radialog_tpu.decode.spec_ring import SpecRingBatcher
+    from radialog_tpu.decode.spec_ring import SpecCompactBatcher, SpecRingBatcher
     from radialog_tpu.models.llama import VICUNA_7B, lora_init
     from radialog_tpu.ops.layers import BF16
 
@@ -101,11 +108,18 @@ def main() -> None:
               + args.spc_plain)
     ring_p = max(-(-ring_p // 32) * 32, 64)
     cache_p = preg + ring_p
-    # spec ring: worst-case verifies x window, rounded to a kp1 multiple
-    nv_life = -(-max(n_new - 1, 1) // args.spc_spec) * args.spc_spec
-    ring_s = (nv_life + args.spc_spec) * kp1
-    ring_s = -(-ring_s // kp1) * kp1
-    cache_s = preg + ring_s
+    if args.compact:
+        # compact: plain-decode-sized generation region + (k+1) scratch
+        nv_life = (-(-max(n_new - 1, 1) // args.spc_spec) * args.spc_spec
+                   + args.spc_spec)
+        ring_s = max(-(-max(n_new + kp1, nv_life + 1) // 32) * 32, 64)
+        cache_s = preg + ring_s
+    else:
+        # spec ring: worst-case verifies x window, rounded to a kp1 multiple
+        nv_life = -(-max(n_new - 1, 1) // args.spc_spec) * args.spc_spec
+        ring_s = (nv_life + args.spc_spec) * kp1
+        ring_s = -(-ring_s // kp1) * kp1
+        cache_s = preg + ring_s
 
     def drain(rb, n_sessions):
         sids = [rb.submit(prompt) for _ in range(n_sessions)]
@@ -130,7 +144,8 @@ def main() -> None:
     plain_toks, wall, _ = timed(
         lambda: RingBatcher(params, cfg, lanes=lanes, cache_len=cache_p,
                             prompt_len=preg, dp=dp, lora=lora, policy=BF16,
-                            steps_per_call=args.spc_plain), "plain")
+                            steps_per_call=args.spc_plain,
+                            kv_int8=args.kv_int8), "plain")
     total = sum(len(x) for x in plain_toks)
     out["plain"] = {"mode": "plain", "tok_s": round(total / wall, 1),
                     "reports_s": round(lanes / wall, 3),
@@ -171,13 +186,14 @@ def main() -> None:
 
         modes.insert(1, ("pattern", realistic))
 
+    spec_cls = SpecCompactBatcher if args.compact else SpecRingBatcher
     for mode, proposer in modes:
         toks, wall, verifies = timed(
-            lambda: SpecRingBatcher(
+            lambda: spec_cls(
                 params, cfg, lanes=lanes, cache_len=cache_s, prompt_len=preg,
                 dp=dp, lora=lora, policy=BF16,
                 steps_per_call=args.spc_spec, spec_k=kk, spec_m=args.m,
-                proposer=proposer), mode)
+                kv_int8=args.kv_int8, proposer=proposer), mode)
         total = sum(len(x) for x in toks)
         exact = sum(a == b for a, b in zip(toks, plain_toks))
         out[mode] = {
@@ -188,6 +204,7 @@ def main() -> None:
             "cache_slots": cache_s}
 
     hdr = {"k": kk, "lanes": lanes, "prompt_len": t, "new_tokens": n_new,
+           "compact": bool(args.compact), "kv_int8": bool(args.kv_int8),
            "spc_plain": args.spc_plain, "spc_spec": args.spc_spec,
            "note": "oracle = full-acceptance bound; junk = zero-acceptance "
                    "floor; pattern = controlled realistic acceptance; ngram "
