@@ -440,19 +440,35 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     # degraded badly off the power-of-two buckets: s_len=448 halved
     # 256->128->64 (64-row blocks) when 224 divides it, and s_len=400 fell
     # all the way to 16-row blocks (26 grid steps/lane, ~5x step time).
+    def resolve_bs(req: int) -> int:
+        req = min(req, s_len)
+        best = 0
+        for cand in range(32, req + 1, 32):
+            if s_len % cand == 0:
+                best = cand
+        if best == 0:       # s_len not a multiple of 32: legacy halving
+            best = req
+            while s_len % best:
+                best //= 2
+        return best
+
     if bs is None:
-        # 256 measured best at serving shapes; RADIALOG_FLASH_BS is the
-        # sweep knob (tools/bench_sweep.py A/Bs without code edits)
-        bs = int(os.environ.get("RADIALOG_FLASH_BS", "256"))
-    bs_req = min(bs, s_len)
-    bs = 0
-    for cand in range(32, bs_req + 1, 32):
-        if s_len % cand == 0:
-            bs = cand
-    if bs == 0:             # s_len not a multiple of 32: legacy halving
-        bs = bs_req
-        while s_len % bs:
-            bs //= 2
+        # Round-5 (gl, bs) grid at the b56 serving default (lane 384,
+        # gl=4; docs/PERF.md "Lane grouping"): bs=192 8.130, bs=128
+        # 8.262, (8,96) 5.16 reports/s — with lanes grouped, FINER blocks
+        # win (the live-bound clamp elides more dead rows early in the
+        # decode while the gl-wide DMA stays large). Default request 128,
+        # falling back to 256 when s_len's divisors make 128 resolve
+        # poorly (s_len=448: 128 -> 64-row blocks, but 256 -> 224).
+        env = os.environ.get("RADIALOG_FLASH_BS")
+        if env is not None:
+            bs = resolve_bs(int(env))
+        else:
+            bs = resolve_bs(128)
+            if bs < 96:
+                bs = resolve_bs(256)
+    else:
+        bs = resolve_bs(bs)
     assert bs >= 1 and s_len % bs == 0, (s_len, bs)
     li = layer_idx
     n0 = 1 if shared is not None else 0
