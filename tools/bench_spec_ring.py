@@ -138,6 +138,13 @@ def main() -> None:
             if wall < best:
                 best = wall
                 verifies = getattr(rb, "verifies", 0) - v0
+        # free this mode's multi-GB cache BEFORE the next mode allocates —
+        # back-to-back batchers otherwise coexist long enough to OOM the
+        # chip at realistic shapes (measured in the round-5 q5 run)
+        rb.cache = rb.valid = None
+        del rb
+        import gc
+        gc.collect()
         return toks, best, verifies
 
     out = {}
