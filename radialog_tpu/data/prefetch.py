@@ -139,15 +139,19 @@ def stage1_raw_batches(data, tokenizer, max_txt_len: int, batch: int,
     data.set_custom_epoch(sub_epoch)
     recs = [data[i] for i in range(len(data))]
     paths = [r["img_path"] for r in recs]
+    # tokenize every caption ONCE up front (captions are fixed per epoch;
+    # doing it per batch put wordpiece work on the step-loop thread between
+    # loader next() calls — the one host core serves the decode pool, the
+    # prefetcher's device_put and the dispatch loop simultaneously)
+    tok_ids = [tokenizer(r["text_output"],
+                         max_length=max_txt_len)["input_ids"] for r in recs]
     with CxrLoader(paths, batch=batch, resize=resize, crop=crop,
                    threads=threads, shuffle=True, seed=seed) as ld:
         for images, idx in ld.epoch(seed=seed + sub_epoch):
             if drop_last and images.shape[0] < batch:
                 continue
-            ids = [tokenizer(recs[i]["text_output"],
-                             max_length=max_txt_len)["input_ids"]
-                   for i in idx]
-            text_ids, text_mask = pad_text_batch(ids, max_txt_len,
+            text_ids, text_mask = pad_text_batch([tok_ids[i] for i in idx],
+                                                 max_txt_len,
                                                  images.shape[0])
             if augment_fn is not None:
                 images = augment_fn(images)
