@@ -65,6 +65,9 @@ def main() -> None:
     ap.add_argument("--max-txt-len", type=int, default=128)
     ap.add_argument("--tiny", action="store_true",
                     help="TINY models on CPU: protocol smoke, not a number")
+    ap.add_argument("--no-step", action="store_true",
+                    help="feed + device_put only (skip the train step): "
+                         "isolates the host+transfer half of the composition")
     args = ap.parse_args()
 
     import jax
@@ -150,15 +153,25 @@ def main() -> None:
 
     # ---- sustained run: fresh loader epoch through the prefetcher
     done = 0
+    per_step = []
     t0 = time.perf_counter()
+    last = t0
     with DevicePrefetcher(batches(), depth=args.depth) as pf:
         for batch in pf:
-            st, m = step_fn(st, visual_params, visual_state, batch, jkey)
+            if not args.no_step:
+                st, m = step_fn(st, visual_params, visual_state, batch, jkey)
+            else:
+                jax.block_until_ready(batch)
             done += 1
+            now = time.perf_counter()
+            per_step.append(now - last)
+            last = now
             if done >= args.steps:
                 break
-    np.asarray(m["loss"])           # drain the async dispatch queue
+    if not args.no_step:
+        np.asarray(m["loss"])       # drain the async dispatch queue
     wall = time.perf_counter() - t0
+    ps = sorted(per_step)
 
     imgs = done * args.batch
     print(json.dumps({
@@ -167,6 +180,10 @@ def main() -> None:
         "wall_s": round(wall, 2),
         "images_per_sec": round(imgs / wall, 1),
         "ms_per_step": round(1e3 * wall / done, 1),
+        "no_step": bool(args.no_step),
+        "step_ms_p50": round(1e3 * ps[len(ps) // 2], 1),
+        "step_ms_p90": round(1e3 * ps[int(len(ps) * 0.9)], 1),
+        "first5_ms": [round(1e3 * x, 1) for x in per_step[:5]],
         "note": "sustained: host decode + tokenize + H2D staging + device "
                 "step on one host core (isolated halves: docs/PERF.md)"}))
 
