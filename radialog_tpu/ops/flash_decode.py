@@ -473,7 +473,17 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     li = layer_idx
     n0 = 1 if shared is not None else 0
     if gl is None:
-        gl = int(os.environ.get("RADIALOG_FLASH_LANES", "4"))
+        env = os.environ.get("RADIALOG_FLASH_LANES")
+        if env is not None:
+            gl = int(env)
+        else:
+            # measured split (round-5): lockstep static-slot serving wins
+            # at gl=4 (7.86 -> 8.26+, all lanes share one live bound); the
+            # RingBatcher's per-lane rotating intervals LOSE ~3% under
+            # grouping (942 -> 911 tok/s at 96 lanes — the group clamp
+            # reads the max over 4 raggedly-filled lanes), so the interval
+            # mask path defaults ungrouped.
+            gl = 1 if gen_intervals is not None else 4
     if current is not None or write_cache:
         gl = 1          # the current-row/slab-write paths are per-lane
     gl = max(1, min(gl, b))
