@@ -68,6 +68,9 @@ def main() -> None:
     ap.add_argument("--no-step", action="store_true",
                     help="feed + device_put only (skip the train step): "
                          "isolates the host+transfer half of the composition")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="serial loop (next -> blocking device_put -> step) "
+                         "without the DevicePrefetcher thread")
     args = ap.parse_args()
 
     import jax
@@ -150,14 +153,17 @@ def main() -> None:
     st, m = step_fn(st, visual_params, visual_state,
                     jax.device_put(b0), jkey)
     np.asarray(m["loss"])
+    it.close()   # tear down the warmup loader's worker pool — its threads
+    # otherwise keep decoding (and holding the core) into the measured run
 
     # ---- sustained run: fresh loader epoch through the prefetcher
     done = 0
     per_step = []
     t0 = time.perf_counter()
     last = t0
-    with DevicePrefetcher(batches(), depth=args.depth) as pf:
-        for batch in pf:
+    if args.no_prefetch:
+        for hb in batches():
+            batch = jax.device_put(hb)
             if not args.no_step:
                 st, m = step_fn(st, visual_params, visual_state, batch, jkey)
             else:
@@ -168,6 +174,20 @@ def main() -> None:
             last = now
             if done >= args.steps:
                 break
+    else:
+        with DevicePrefetcher(batches(), depth=args.depth) as pf:
+            for batch in pf:
+                if not args.no_step:
+                    st, m = step_fn(st, visual_params, visual_state, batch,
+                                    jkey)
+                else:
+                    jax.block_until_ready(batch)
+                done += 1
+                now = time.perf_counter()
+                per_step.append(now - last)
+                last = now
+                if done >= args.steps:
+                    break
     if not args.no_step:
         np.asarray(m["loss"])       # drain the async dispatch queue
     wall = time.perf_counter() - t0
@@ -181,6 +201,7 @@ def main() -> None:
         "images_per_sec": round(imgs / wall, 1),
         "ms_per_step": round(1e3 * wall / done, 1),
         "no_step": bool(args.no_step),
+        "no_prefetch": bool(args.no_prefetch),
         "step_ms_p50": round(1e3 * ps[len(ps) // 2], 1),
         "step_ms_p90": round(1e3 * ps[int(len(ps) * 0.9)], 1),
         "first5_ms": [round(1e3 * x, 1) for x in per_step[:5]],
