@@ -192,7 +192,7 @@ def main() -> None:
     tokens = jnp.asarray(rem)
     lengths = jnp.full((BATCH,), t1, jnp.int32)
     dp = DecodeParams(max_new_tokens=MAX_NEW_TOKENS, eos_token_id=-1,
-                      unroll=2)  # full-length; unroll=2 decodes two tokens
+                      unroll=3)  # full-length; unroll=3 decodes three tokens
     # per while_loop trip (token-identical, tests/test_llama_decode.py) —
     # amortizes the ~0.9 ms/iteration fixed loop cost: measured 6.97 -> 7.07
     # reports/s same-session (docs/PERF.md "Decode-loop unroll"). The

@@ -87,10 +87,12 @@ class PipelineConfig:
     max_new_tokens: int = 300                # test.py:344
     decode_unroll: Optional[int] = None      # tokens decoded per while_loop
     # trip (DecodeParams.unroll — token-identical to 1, amortizes the
-    # ~0.9 ms/iteration fixed loop cost of this runtime). None = 2 on the
-    # quantized serving path (measured +1.4% reports/s at the b56 serving
-    # default, docs/PERF.md "Decode-loop unroll"), 1 elsewhere (CPU/mock
-    # paths keep the smaller loop body → faster test compiles).
+    # ~0.9 ms/iteration fixed loop cost of this runtime). None = 3 on the
+    # quantized serving path (round-5 re-sweep at the gl=4/bs=64 kernel:
+    # unroll 2 -> 3 measured 8.39 -> 8.47 reports/s at b56 — the faster
+    # kernel shifted the loop-overhead balance; docs/PERF.md "Decode-loop
+    # unroll"), 1 elsewhere (CPU/mock paths keep the smaller loop body ->
+    # faster test compiles).
     seed: int = 42
 
     def use_kv_int8(self) -> bool:
@@ -337,7 +339,7 @@ class RaDialogPipeline:
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
         tokens, lengths = pad_batch_right(ids, _pad_id(self.tokenizer))
         unroll = self.cfg.decode_unroll if self.cfg.decode_unroll is not None \
-            else (2 if self.cfg.quantize and not self.cfg.mock else 1)
+            else (3 if self.cfg.quantize and not self.cfg.mock else 1)
         if unroll < 1:
             raise ValueError(f"decode_unroll must be >= 1, got {unroll}")
         dp = DecodeParams(

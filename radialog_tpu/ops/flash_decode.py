@@ -454,19 +454,22 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
 
     if bs is None:
         # Round-5 (gl, bs) grid at the b56 serving default (lane 384,
-        # gl=4; docs/PERF.md "Lane grouping"): bs=192 8.130, bs=128
-        # 8.262, (8,96) 5.16 reports/s — with lanes grouped, FINER blocks
-        # win (the live-bound clamp elides more dead rows early in the
-        # decode while the gl-wide DMA stays large). Default request 128,
-        # falling back to 256 when s_len's divisors make 128 resolve
-        # poorly (s_len=448: 128 -> 64-row blocks, but 256 -> 224).
+        # gl=4; docs/PERF.md "Lane grouping"): bs=192 8.130, 128 8.262,
+        # 96 8.345, 64 8.389 (8.474 with unroll=3 — the shipped config),
+        # 32 7.16 reports/s — with lanes grouped, FINER blocks win down to
+        # 64 rows (the live-bound clamp elides more dead rows early in
+        # the decode while the gl-wide DMA stays large), then the fixed
+        # per-grid-step cost bites at 32. Default request 64; when
+        # s_len's divisor structure resolves it below 64 rows, walk up
+        # through 96/128/256 for the first >= 64-row resolution.
         env = os.environ.get("RADIALOG_FLASH_BS")
         if env is not None:
             bs = resolve_bs(int(env))
         else:
-            bs = resolve_bs(128)
-            if bs < 96:
-                bs = resolve_bs(256)
+            for req in (64, 96, 128, 256):
+                bs = resolve_bs(req)
+                if bs >= 64:
+                    break
     else:
         bs = resolve_bs(bs)
     assert bs >= 1 and s_len % bs == 0, (s_len, bs)
