@@ -118,8 +118,8 @@ def stage1_raw_batches(data, tokenizer, max_txt_len: int, batch: int,
                        sub_epoch: int, resize: int = 512, crop: int = 448,
                        threads: int = 4, seed: int = 0,
                        drop_last: bool = True,
-                       augment_fn: Optional[Callable] = None
-                       ) -> Iterator[Dict]:
+                       augment_fn: Optional[Callable] = None,
+                       raw_u8: bool = True) -> Iterator[Dict]:
     """One sub-epoch of stage-1 raw-image batches through the native pool.
 
     data: Stage1Data (data/datasets.py — the MIMIC_CXR_Dataset contract,
@@ -133,8 +133,19 @@ def stage1_raw_batches(data, tokenizer, max_txt_len: int, batch: int,
     drop_last: the jitted step is shape-specialized; a ragged tail batch
     would compile a second executable (the reference's DataLoader also
     drops it, runner_base.py dataloader drop_last=True for train).
+
+    raw_u8 (default): yield images as (B, crop, crop) uint8 — the exact
+    PIL intermediate — and let the train step expand/normalize on device
+    (make_stage1_raw_train_step handles the dtype; ops/image.expand_cxr_u8
+    is bit-identical to the f32 path). 12x smaller host->device batches;
+    measured decisive under the remote-TPU runtime (docs/PERF.md "Input
+    pipeline"). Forced off when a HOST-side augment_fn is given (it
+    expects the f32 form).
     """
     from ..native.loader import CxrLoader
+
+    if augment_fn is not None:
+        raw_u8 = False
 
     data.set_custom_epoch(sub_epoch)
     recs = [data[i] for i in range(len(data))]
@@ -146,7 +157,8 @@ def stage1_raw_batches(data, tokenizer, max_txt_len: int, batch: int,
     tok_ids = [tokenizer(r["text_output"],
                          max_length=max_txt_len)["input_ids"] for r in recs]
     with CxrLoader(paths, batch=batch, resize=resize, crop=crop,
-                   threads=threads, shuffle=True, seed=seed) as ld:
+                   threads=threads, shuffle=True, seed=seed,
+                   emit_u8=raw_u8) as ld:
         for images, idx in ld.epoch(seed=seed + sub_epoch):
             if drop_last and images.shape[0] < batch:
                 continue

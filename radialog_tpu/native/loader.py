@@ -48,11 +48,19 @@ def build_native(force: bool = False) -> Optional[ctypes.CDLL]:
         lib.cxr_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint64]
+            ctypes.c_uint64, ctypes.c_int]
         lib.cxr_loader_next.restype = ctypes.c_int
         lib.cxr_loader_next.argtypes = [ctypes.c_void_p,
                                         ctypes.POINTER(ctypes.c_float),
                                         ctypes.POINTER(ctypes.c_int)]
+        lib.cxr_loader_next_u8.restype = ctypes.c_int
+        lib.cxr_loader_next_u8.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_ubyte),
+                                           ctypes.POINTER(ctypes.c_int)]
+        lib.cxr_preprocess_file_u8.restype = ctypes.c_int
+        lib.cxr_preprocess_file_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte)]
         lib.cxr_loader_reset.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.cxr_loader_destroy.argtypes = [ctypes.c_void_p]
         lib.cxr_preprocess_file.restype = ctypes.c_int
@@ -92,13 +100,20 @@ class CxrLoader:
 
     def __init__(self, paths: Sequence[str], batch: int = 32,
                  resize: int = 512, crop: int = 448, threads: int = 4,
-                 shuffle: bool = True, seed: int = 0):
+                 shuffle: bool = True, seed: int = 0,
+                 emit_u8: bool = False):
+        # emit_u8: yield the (crop, crop) SINGLE-channel uint8 crops — the
+        # exact PIL intermediate (resize rounds back to u8 like PIL
+        # BILINEAR) — instead of (crop, crop, 3) f32. 12x smaller batches;
+        # the consumer expands/normalizes on device (u8/255 there is
+        # bit-identical to the f32 path: ops.image.expand_cxr_u8).
         self.paths = [str(p) for p in paths]
         self.batch = batch
         self.resize = resize
         self.crop = crop
         self.threads = threads
         self.shuffle = shuffle
+        self.emit_u8 = emit_u8
         self._lib = build_native()
         self._handle = None
         if self._lib is not None:
@@ -107,7 +122,7 @@ class CxrLoader:
             self._paths_buf = arr  # keep alive
             self._handle = self._lib.cxr_loader_create(
                 arr, len(self.paths), batch, resize, crop, threads,
-                int(shuffle), seed)
+                int(shuffle), seed, int(emit_u8))
 
     # ------------------------------------------------------------- lifecycle
     def close(self) -> None:
@@ -132,12 +147,23 @@ class CxrLoader:
         if self._handle is not None:
             self._lib.cxr_loader_reset(self._handle, seed)
             while True:
-                images = np.empty((self.batch, self.crop, self.crop, 3), np.float32)
                 idx = np.empty((self.batch,), np.int32)
-                n = self._lib.cxr_loader_next(
-                    self._handle,
-                    images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+                if self.emit_u8:
+                    images = np.empty((self.batch, self.crop, self.crop),
+                                      np.uint8)
+                    n = self._lib.cxr_loader_next_u8(
+                        self._handle,
+                        images.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_ubyte)),
+                        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+                else:
+                    images = np.empty(
+                        (self.batch, self.crop, self.crop, 3), np.float32)
+                    n = self._lib.cxr_loader_next(
+                        self._handle,
+                        images.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_float)),
+                        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
                 if n <= 0:
                     return
                 yield images[:n], idx[:n]
@@ -149,4 +175,9 @@ class CxrLoader:
                 sel = order[i0:i0 + self.batch]
                 imgs = np.stack([preprocess_file(self.paths[i], self.resize,
                                                  self.crop) for i in sel])
-                yield imgs.astype(np.float32), sel.astype(np.int32)
+                if self.emit_u8:
+                    # the f32 values are u8/255 by construction — exact
+                    yield (np.round(imgs[..., 0] * 255.0).astype(np.uint8),
+                           sel.astype(np.int32))
+                else:
+                    yield imgs.astype(np.float32), sel.astype(np.int32)

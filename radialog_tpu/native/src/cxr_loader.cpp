@@ -192,18 +192,48 @@ bool preprocess_file(const std::string& path, int resize, int crop, float* out) 
   return true;
 }
 
+// center crop, SINGLE-channel uint8 (the exact PIL intermediate — resize_short
+// already rounded back to uint8 like PIL BILINEAR on mode-L images). The /255
+// normalize + 3-channel replicate move to the accelerator: u8/255 there is
+// bit-identical to crop_norm's floats, and the host->device payload shrinks
+// 12x (crop^2 u8 vs crop^2*3 f32) — which matters under remote-device
+// runtimes whose execute path marshals fresh host bytes per call.
+void crop_u8(const Gray& g, int crop, uint8_t* out) {
+  const int top = std::max((g.h - crop) / 2, 0);
+  const int left = std::max((g.w - crop) / 2, 0);
+  for (int y = 0; y < crop; ++y) {
+    const int sy = std::min(top + y, g.h - 1);
+    for (int x = 0; x < crop; ++x) {
+      const int sx = std::min(left + x, g.w - 1);
+      out[size_t(y) * crop + x] = g.px[size_t(sy) * g.w + sx];
+    }
+  }
+}
+
+bool preprocess_file_u8(const std::string& path, int resize, int crop,
+                        uint8_t* out) {
+  Gray raw, small;
+  if (!decode_jpeg_gray(path, &raw)) return false;
+  remap_minmax(&raw);
+  resize_short(raw, resize, &small);
+  crop_u8(small, crop, out);
+  return true;
+}
+
 struct Sample {
   int index = -1;                // index into the path list; -1 = failed
   uint64_t gen = 0;              // epoch generation (stale results discarded)
-  std::vector<float> img;
+  std::vector<float> img;        // emit_u8=false: (crop,crop,3) f32 [0,1]
+  std::vector<uint8_t> img8;     // emit_u8=true:  (crop,crop) u8
 };
 
 class Loader {
  public:
   Loader(std::vector<std::string> paths, int batch, int resize, int crop,
-         int threads, bool shuffle, uint64_t seed)
+         int threads, bool shuffle, uint64_t seed, bool emit_u8)
       : paths_(std::move(paths)), batch_(batch), resize_(resize), crop_(crop),
-        shuffle_(shuffle), queue_cap_(std::max(2 * batch, 16)) {
+        shuffle_(shuffle), emit_u8_(emit_u8),
+        queue_cap_(std::max(2 * batch, 16)) {
     order_.resize(paths_.size());
     for (size_t i = 0; i < order_.size(); ++i) order_[i] = int(i);
     reset(seed);
@@ -235,8 +265,10 @@ class Loader {
     cv_space_.notify_all();
   }
 
-  // Fill up to batch_ samples. Returns count (0 = epoch exhausted).
+  // Fill up to batch_ samples. Returns count (0 = epoch exhausted;
+  // -2 = loader constructed in the other emit mode).
   int next(float* out_images, int* out_indices) {
+    if (emit_u8_) return -2;
     const size_t stride = size_t(crop_) * crop_ * 3;
     int filled = 0;
     std::unique_lock<std::mutex> lk(mu_);
@@ -256,6 +288,33 @@ class Loader {
       if (s.index < 0) continue;  // decode failure: skip
       std::memcpy(out_images + size_t(filled) * stride, s.img.data(),
                   stride * sizeof(float));
+      out_indices[filled] = s.index;
+      ++filled;
+    }
+    return filled;
+  }
+
+  int next_u8(uint8_t* out_images, int* out_indices) {
+    if (!emit_u8_) return -2;
+    const size_t stride = size_t(crop_) * crop_;
+    int filled = 0;
+    std::unique_lock<std::mutex> lk(mu_);
+    while (filled < batch_) {
+      if (emitted_ >= order_.size() && ready_.empty()) break;
+      cv_item_.wait(lk, [this] {
+        return stop_ || !ready_.empty() ||
+               (emitted_ >= order_.size() && ready_.empty());
+      });
+      if (stop_) break;
+      if (ready_.empty()) break;
+      Sample s = std::move(ready_.front());
+      ready_.pop();
+      cv_space_.notify_one();
+      if (s.gen != gen_) continue;
+      ++emitted_;
+      if (s.index < 0) continue;
+      std::memcpy(out_images + size_t(filled) * stride, s.img8.data(),
+                  stride);
       out_indices[filled] = s.index;
       ++filled;
     }
@@ -282,9 +341,16 @@ class Loader {
       Sample s;
       s.gen = my_gen;
       s.index = order_[task];
-      s.img.resize(stride);
-      if (!preprocess_file(paths_[s.index], resize_, crop_, s.img.data()))
-        s.index = -1;
+      if (emit_u8_) {
+        s.img8.resize(size_t(crop_) * crop_);
+        if (!preprocess_file_u8(paths_[s.index], resize_, crop_,
+                                s.img8.data()))
+          s.index = -1;
+      } else {
+        s.img.resize(stride);
+        if (!preprocess_file(paths_[s.index], resize_, crop_, s.img.data()))
+          s.index = -1;
+      }
       {
         std::lock_guard<std::mutex> lk(mu_);
         ready_.push(std::move(s));
@@ -297,6 +363,7 @@ class Loader {
   std::vector<int> order_;
   const int batch_, resize_, crop_;
   const bool shuffle_;
+  const bool emit_u8_;
   const int queue_cap_;
 
   std::mutex mu_;
@@ -314,14 +381,24 @@ class Loader {
 extern "C" {
 
 void* cxr_loader_create(const char** paths, int n, int batch, int resize,
-                        int crop, int threads, int shuffle, uint64_t seed) {
+                        int crop, int threads, int shuffle, uint64_t seed,
+                        int emit_u8) {
   std::vector<std::string> p(paths, paths + n);
   return new Loader(std::move(p), batch, resize, crop, threads, shuffle != 0,
-                    seed);
+                    seed, emit_u8 != 0);
 }
 
 int cxr_loader_next(void* h, float* out_images, int* out_indices) {
   return static_cast<Loader*>(h)->next(out_images, out_indices);
+}
+
+int cxr_loader_next_u8(void* h, unsigned char* out_images, int* out_indices) {
+  return static_cast<Loader*>(h)->next_u8(out_images, out_indices);
+}
+
+int cxr_preprocess_file_u8(const char* path, int resize, int crop,
+                           unsigned char* out) {
+  return preprocess_file_u8(path, resize, crop, out) ? 0 : 1;
 }
 
 void cxr_loader_reset(void* h, uint64_t seed) {

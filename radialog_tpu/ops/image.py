@@ -69,6 +69,20 @@ def preprocess_cxr_batch(imgs_u8: jax.Array, resize: int = 512, crop: int = 448)
     return jax.vmap(lambda im: preprocess_cxr(im, resize=resize, crop=crop))(imgs_u8)
 
 
+def expand_cxr_u8(imgs_u8: jax.Array) -> jax.Array:
+    """(B, crop, crop) uint8 cropped grays -> (B, crop, crop, 3) f32 [0,1].
+
+    The device half of the uint8 loader contract (native/loader.py
+    CxrLoader(emit_u8=True)): the C++ pipeline's resize rounds back to
+    uint8 exactly like PIL BILINEAR on mode-L images, so u8/255 replicated
+    here is BIT-IDENTICAL to the f32 path's output while the host->device
+    payload is 12x smaller — decisive under remote-device runtimes whose
+    execute path marshals fresh host bytes per call (docs/PERF.md "Input
+    pipeline")."""
+    x = imgs_u8.astype(jnp.float32) / 255.0
+    return jnp.repeat(x[..., None], 3, axis=-1)
+
+
 def load_image_grayscale(path) -> np.ndarray:
     """Host JPEG/PNG decode -> remapped uint8 grayscale (H, W).
 

@@ -148,6 +148,12 @@ def make_stage1_raw_train_step(tx: optax.GradientTransformation,
 
     def loss_fn(params, visual_params, visual_state, batch, rng):
         images = batch["images"]
+        if images.dtype == jnp.uint8:
+            # uint8 loader contract (CxrLoader(emit_u8=True)): expand to
+            # the f32 3-channel form ON DEVICE — bit-identical values,
+            # 12x smaller host->device batches (ops/image.expand_cxr_u8)
+            from ..ops.image import expand_cxr_u8
+            images = expand_cxr_u8(images)
         if augment:
             rng, ka = jax.random.split(rng)
             images = augment_cxr_batch(images, ka)

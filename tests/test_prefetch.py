@@ -89,8 +89,10 @@ def test_stage1_raw_batches_shapes_and_caption_join(mimic_tree):
     for batch in stage1_raw_batches(mimic_tree, tok, max_txt_len=10, batch=3,
                                     sub_epoch=0, resize=72, crop=64,
                                     threads=2, drop_last=True):
-        assert batch["images"].shape == (3, 64, 64, 3)
-        assert batch["images"].dtype == np.float32
+        # round-5 default contract: uint8 single-channel crops, expanded
+        # on device (ops/image.expand_cxr_u8 — 12x smaller host batches)
+        assert batch["images"].shape == (3, 64, 64)
+        assert batch["images"].dtype == np.uint8
         assert batch["text_ids"].shape == (3, 10)  # STATIC text padding
         assert batch["text_mask"].sum(1).min() > 0
         seen.append(batch)
@@ -116,4 +118,25 @@ def test_stage1_raw_batches_through_prefetcher(mimic_tree):
         batches = list(pf)
     assert len(batches) == 1
     assert isinstance(batches[0]["images"], jax.Array)
-    assert batches[0]["images"].shape == (3, 64, 64, 3)
+    assert batches[0]["images"].shape == (3, 64, 64)
+
+
+
+def test_raw_u8_expand_matches_f32_path(mimic_tree):
+    """The uint8 loader contract is EXACT: expand_cxr_u8(u8 batch) must be
+    bit-identical to the f32 (raw_u8=False) pipeline output row-for-row
+    (the C++ resize rounds back to uint8 exactly like PIL BILINEAR, so
+    u8/255 replicated equals the float path's values)."""
+    from radialog_tpu.data.tokenization import WhitespaceTokenizer
+    from radialog_tpu.ops.image import expand_cxr_u8
+
+    tok = WhitespaceTokenizer(vocab_size=1000)
+    kw = dict(max_txt_len=8, batch=3, sub_epoch=0, resize=72, crop=64,
+              threads=2, seed=0)
+    u8 = list(stage1_raw_batches(mimic_tree, tok, raw_u8=True, **kw))
+    f32 = list(stage1_raw_batches(mimic_tree, tok, raw_u8=False, **kw))
+    assert len(u8) == len(f32) == 1
+    np.testing.assert_array_equal(u8[0]["text_ids"], f32[0]["text_ids"])
+    np.testing.assert_array_equal(
+        np.asarray(expand_cxr_u8(jnp.asarray(u8[0]["images"]))),
+        f32[0]["images"])
