@@ -316,6 +316,9 @@ def test_flash_decode_int8_per_lane_intervals_matches_reference():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=0.05, atol=0.02)
 
 
+@pytest.mark.slow  # ~7s; the current-row operand is the opt-in defer
+# path's building block, and the two write_cache tests above exercise
+# current= together with the write in the fast suite
 def test_flash_decode_int8_current_token_operand():
     """The deferred-write contract (ops/flash_decode.py `current`): passing
     the step's own K/V row as a direct kernel operand with the mask shrunk

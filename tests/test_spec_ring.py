@@ -132,7 +132,7 @@ def test_pipeline_correction_spec_ring_matches_batch1():
     (fp32 CPU: associativity cannot flip argmaxes)."""
     from radialog_tpu.apps.pipeline import PipelineConfig, RaDialogPipeline
 
-    pipe = RaDialogPipeline(PipelineConfig(mock=True, max_new_tokens=12))
+    pipe = RaDialogPipeline(PipelineConfig(mock=True, max_new_tokens=8))
     cfg = pipe.llama_cfg
     img_run = "<IMG>" * cfg.num_img_tokens
     prompts = [
@@ -141,16 +141,14 @@ def test_pipeline_correction_spec_ring_matches_batch1():
         "A chat. USER: Image information: " + img_run
         + " Report: the lungs are clear with no effusion seen today."
         + " Remove effusion. ASSISTANT:",
-        "A chat. USER: Image information: " + img_run
-        + " Short one. ASSISTANT:",
     ]
     rng = np.random.default_rng(7)
-    embs = rng.normal(size=(3, cfg.num_img_tokens,
+    embs = rng.normal(size=(2, cfg.num_img_tokens,
                             cfg.qformer_dim)).astype(np.float32)
     plain = [pipe.generate_texts([p], img_embs=embs[i:i + 1],
-                                 max_new_tokens=12)[0]
+                                 max_new_tokens=8)[0]
              for i, p in enumerate(prompts)]
-    spec = pipe.generate_texts_ring(prompts, max_new_tokens=12, lanes=3,
+    spec = pipe.generate_texts_ring(prompts, max_new_tokens=8, lanes=2,
                                     img_embs=embs, spec_k=3)
     assert spec == plain
 

@@ -117,6 +117,9 @@ def test_spec_eos_mid_block():
     assert int(got.iters) <= -(-max(n - 1, 0) // 5) + 1
 
 
+@pytest.mark.slow  # ~9s; the forward-count economics are also pinned on
+# real TPU (tools/bench_spec.py rows in docs/PERF.md); spec==plain
+# exactness stays fast below
 def test_spec_oracle_cuts_iterations():
     params = _unrolled_params()
     tokens = _prompt()

@@ -23,7 +23,14 @@ from radialog_tpu.models.blip2 import Blip2Config, blip2_init, blip2_stage1_loss
 from radialog_tpu.models.qformer import TINY_QFORMER
 from radialog_tpu.train.steps import TrainState, make_stage1_train_step
 
-CFG = Blip2Config(qformer=TINY_QFORMER, embed_dim=16, max_txt_len=12)
+import dataclasses
+_Q2 = dataclasses.replace(
+    TINY_QFORMER,
+    bert=dataclasses.replace(TINY_QFORMER.bert, num_layers=2))
+# 2 layers, not TINY's 4: the global-batch equality claim is
+# depth-independent and the 8-device ITC+ITM+LM compile dominates this
+# test's CI cost (round-5 suite re-budget)
+CFG = Blip2Config(qformer=_Q2, embed_dim=16, max_txt_len=12)
 B, T, NIMG = 8, 10, 6
 
 
@@ -64,13 +71,10 @@ def test_stage1_loss_global_batch_equality():
         np.testing.assert_allclose(np.asarray(getattr(got, name)),
                                    np.asarray(getattr(ref, name)),
                                    atol=1e-5, rtol=1e-5, err_msg=name)
-    # the ITC loss must really be global-batch: recompute on each half alone
-    # (per-shard in-batch negatives) and check it differs
-    half = {k: v[:4] for k, v in batch.items()}
-    half_loss = blip2_stage1_losses(params, CFG, half["image_embeds"],
-                                    half["text_ids"], half["text_mask"], rng)
-    assert not np.allclose(float(half_loss.loss_itc), float(ref.loss_itc),
-                           atol=1e-3)
+    # The half-batch "smaller negative sets change ITC" demonstration moved
+    # to the slow train-step test (round-5 suite re-budget): its B=4 shapes
+    # forced a full eager recompile (~11s) and the 1e-5 sharded-vs-unsharded
+    # equality above is the load-bearing global-batch evidence.
 
 
 @pytest.mark.slow
@@ -105,3 +109,13 @@ def test_stage1_train_step_dp_equality():
     for a, b in zip(flat_got, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+    # the ITC loss must really be global-batch: recompute on each half alone
+    # (per-shard in-batch negatives) and check it differs
+    from radialog_tpu.models.blip2 import blip2_stage1_losses
+    full = blip2_stage1_losses(params, CFG, batch["image_embeds"],
+                               batch["text_ids"], batch["text_mask"], rng)
+    half = {k: v[:4] for k, v in batch.items()}
+    half_loss = blip2_stage1_losses(params, CFG, half["image_embeds"],
+                                    half["text_ids"], half["text_mask"], rng)
+    assert not np.allclose(float(half_loss.loss_itc), float(full.loss_itc),
+                           atol=1e-3)

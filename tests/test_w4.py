@@ -111,6 +111,8 @@ class TestServingLayout:
         assert isinstance(qp["layers"], list)
         assert isinstance(qp["layers"][0]["wqkv"], PackedQ4)
 
+    @pytest.mark.slow  # ~10s; W4A8 is the opt-in capacity mode — the
+    # kernel-vs-reference parity test stays fast
     def test_w4_generate_internally_consistent(self):
         """End-to-end greedy decode over the w4 serving layout (CPU:
         linear() routes PackedQ4 to q4_matmul_reference) exercises layout
