@@ -28,10 +28,10 @@ The halved cache moves the OOM wall out: batch 56 x lane-cache 384 is the
 single-chip optimum (pre-qbd-fix int8+shared sweep: b28 5.25, b32 5.39,
 b40 6.29, b48 6.69, b56 7.01 reports/s at unroll=1, 7.07 at the unroll=2
 default, b60 runtime-OOM — tools/bench_sweep.py; the bf16-KV fallback,
-kv_int8=False, peaks at 5.73 at b38). Round-4 reference value at this
-default: **8.4701 reports/s** (round-5: lane-grouped gl=4 + 64-row
-fine-block flash-decode DMAs + decode unroll 3; two back-to-back runs
-8.4621/8.4701)
+kv_int8=False, peaks at 5.73 at b38). Reference value at this
+default: **8.6149 reports/s** (round-5: lane-grouped gl=8 + 64-row
+fine-block flash-decode DMAs + decode unroll 3; the gl=4 interim
+default measured 8.4621-8.4775 across four runs)
 (2026-08-19). Full batch x kv-dtype map + the per-op profile + the fixed
 scale-buffer remat cliff: docs/PERF.md.
 

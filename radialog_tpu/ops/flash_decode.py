@@ -409,13 +409,16 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     queues; docs/PERF.md "In-kernel cache writes"), so it is OPT-IN.
     The caller must guarantee slot < S.
 
-    gl: lanes per grid program (default: RADIALOG_FLASH_LANES, else 4) —
-    groups gl lanes into one program to amortize the ~1-2 us fixed
-    per-grid-step cost over gl-times larger DMAs (same total bytes; the
-    group's dead-block clamp uses the max live bound over its lanes).
-    Measured at the b56 serving default (round-5 A/B, runs=3 each):
-    gl=1 7.862, gl=2 8.034, gl=4 8.130 (the default, +3.4%), gl=7 7.911,
-    gl=8 7.905 reports/s — gains flatten then reverse as the grouped
+    gl: lanes per grid program (default: RADIALOG_FLASH_LANES, else 8 at
+    the resolved bs <= 64, 4 at coarser walked-up blocks) — groups gl
+    lanes into one program to amortize the ~1-2 us fixed per-grid-step
+    cost over gl-times larger DMAs (same total bytes; the group's
+    dead-block clamp uses the max live bound over its lanes).
+    Measured at the b56 serving default (round-5 A/Bs, runs=3 each): at
+    the old 192-row blocks gl=1 7.862, 2 8.034, 4 8.130, 7 7.911,
+    8 7.905; at the shipped 64-row blocks gl=4 8.478, 7 8.610,
+    **8 8.618 (the default)**, 14 8.203 reports/s — the fine-block
+    live-bound clamp and the gl-wide DMA compose, until the grouped
     (gl x bs)-row blocks grow past the double-buffering sweet spot
     (docs/PERF.md "Lane grouping"). Bitwise-exact vs gl=1 on TPU at every
     setting (tests + the round-5 smoke).
@@ -455,7 +458,8 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     if bs is None:
         # Round-5 (gl, bs) grid at the b56 serving default (lane 384,
         # gl=4; docs/PERF.md "Lane grouping"): bs=192 8.130, 128 8.262,
-        # 96 8.345, 64 8.389 (8.474 with unroll=3 — the shipped config),
+        # 96 8.345, 64 8.389 (8.474 with unroll=3; 8.618 with the gl=8
+        # default below — the shipped config),
         # 32 7.16 reports/s — with lanes grouped, FINER blocks win down to
         # 64 rows (the live-bound clamp elides more dead rows early in
         # the decode while the gl-wide DMA stays large), then the fixed
@@ -481,12 +485,20 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             gl = int(env)
         else:
             # measured split (round-5): lockstep static-slot serving wins
-            # at gl=4 (7.86 -> 8.26+, all lanes share one live bound); the
+            # under grouping (all lanes share one live bound); the
             # RingBatcher's per-lane rotating intervals LOSE ~3% under
             # grouping (942 -> 911 tok/s at 96 lanes — the group clamp
             # reads the max over 4 raggedly-filled lanes), so the interval
-            # mask path defaults ungrouped.
-            gl = 1 if gen_intervals is not None else 4
+            # mask path defaults ungrouped. Lockstep gl rides the resolved
+            # block size: at the fine 64-row default the peak moves to
+            # gl=8 (b56 headline A/B, runs=3: gl=4 8.478, 7 8.610,
+            # 8 8.618, 14 8.203 reports/s — and (8,32) 7.50 / (8,128)
+            # 8.09 bracket it, docs/PERF.md "Lane grouping"); coarser
+            # walked-up blocks (96/128/192/256) keep the measured gl=4.
+            if gen_intervals is not None:
+                gl = 1
+            else:
+                gl = 8 if bs <= 64 else 4
     if current is not None or write_cache:
         gl = 1          # the current-row/slab-write paths are per-lane
     gl = max(1, min(gl, b))
