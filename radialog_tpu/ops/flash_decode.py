@@ -342,6 +342,20 @@ def _kernel(lens_ref,                       # scalar prefetch: (5B[+1],) int32
             o_ref[g] = (acc_ref[g:g + 1, :] * inv_exp).astype(o_ref.dtype)
 
 
+def default_gl(bs: int, intervals: bool = False) -> int:
+    """Lane-group default for the resolved block row count `bs` (the
+    measured round-5 rule, docs/PERF.md "Lane grouping"): interval-mask
+    (ring) callers stay ungrouped (ragged per-lane fills defeat the
+    group's shared live bound, 942 -> 911 tok/s at 96 lanes); lockstep
+    static-slot serving groups 8 lanes at the fine bs <= 64 blocks
+    (b56 A/B: gl=4 8.478, 7 8.610, 8 8.618, 14 8.203 reports/s) and 4 at
+    the coarser walked-up blocks (96/128/192/256), where the 192-row
+    sweep showed gl >= 7 regressing."""
+    if intervals:
+        return 1
+    return 8 if bs <= 64 else 4
+
+
 @functools.partial(jax.jit, static_argnames=("layer_idx", "scale", "bs",
                                              "interpret", "write_cache",
                                              "gl"))
@@ -484,21 +498,7 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         if env is not None:
             gl = int(env)
         else:
-            # measured split (round-5): lockstep static-slot serving wins
-            # under grouping (all lanes share one live bound); the
-            # RingBatcher's per-lane rotating intervals LOSE ~3% under
-            # grouping (942 -> 911 tok/s at 96 lanes — the group clamp
-            # reads the max over 4 raggedly-filled lanes), so the interval
-            # mask path defaults ungrouped. Lockstep gl rides the resolved
-            # block size: at the fine 64-row default the peak moves to
-            # gl=8 (b56 headline A/B, runs=3: gl=4 8.478, 7 8.610,
-            # 8 8.618, 14 8.203 reports/s — and (8,32) 7.50 / (8,128)
-            # 8.09 bracket it, docs/PERF.md "Lane grouping"); coarser
-            # walked-up blocks (96/128/192/256) keep the measured gl=4.
-            if gen_intervals is not None:
-                gl = 1
-            else:
-                gl = 8 if bs <= 64 else 4
+            gl = default_gl(bs, intervals=gen_intervals is not None)
     if current is not None or write_cache:
         gl = 1          # the current-row/slab-write paths are per-lane
     gl = max(1, min(gl, b))

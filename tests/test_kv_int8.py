@@ -583,3 +583,19 @@ def test_flash_decode_int8_lane_grouping_matches_ungrouped():
             np.testing.assert_array_equal(
                 np.asarray(got), np.asarray(ref),
                 err_msg=f"gl={gl} kw={list(kw)}")
+
+def test_default_gl_rule():
+    """The measured round-5 lane-group default (ops/flash_decode.py
+    `default_gl`, docs/PERF.md "Lane grouping"): 8 lanes per grid program
+    at the fine bs <= 64 blocks, 4 at the coarser walked-up blocks, and
+    ungrouped for interval-mask (ring) callers regardless of bs."""
+    from radialog_tpu.ops.flash_decode import default_gl
+
+    assert default_gl(32) == 8
+    assert default_gl(64) == 8
+    assert default_gl(96) == 4
+    assert default_gl(128) == 4
+    assert default_gl(192) == 4
+    assert default_gl(256) == 4
+    for bs in (32, 64, 96, 128, 192, 256):
+        assert default_gl(bs, intervals=True) == 1
