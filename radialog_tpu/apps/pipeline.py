@@ -88,11 +88,12 @@ class PipelineConfig:
     decode_unroll: Optional[int] = None      # tokens decoded per while_loop
     # trip (DecodeParams.unroll — token-identical to 1, amortizes the
     # ~0.9 ms/iteration fixed loop cost of this runtime). None = 3 on the
-    # quantized serving path (round-5 re-sweep at the gl=4/bs=64 kernel:
-    # unroll 2 -> 3 measured 8.39 -> 8.47 reports/s at b56 — the faster
-    # kernel shifted the loop-overhead balance; docs/PERF.md "Decode-loop
-    # unroll"), 1 elsewhere (CPU/mock paths keep the smaller loop body ->
-    # faster test compiles).
+    # quantized serving path (round-5 re-sweeps: unroll 2 -> 3 measured
+    # 8.39 -> 8.47 at the gl=4/bs=64 kernel and 3 stays the peak at the
+    # shipped gl=8 kernel, 8.618 vs 8.603 at unroll 4 — the faster kernel
+    # shifted the loop-overhead balance; docs/PERF.md "Decode-loop
+    # unroll" + "Lane grouping"), 1 elsewhere (CPU/mock paths keep the
+    # smaller loop body -> faster test compiles).
     seed: int = 42
 
     def use_kv_int8(self) -> bool:
