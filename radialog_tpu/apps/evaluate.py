@@ -35,14 +35,16 @@ class EvalOptions:
     temperature: float = 1.0
     num_beams: int = 1
     do_corr: bool = False
-    corr_spec: int = 0      # >0: run the correction pass BATCHED through the
-    # speculative ring (decode/spec_ring.SpecRingBatcher, spec_k=corr_spec,
-    # 8 lanes) instead of the reference's batch-1 loop (test.py:440) —
-    # token-identical to greedy by the verify contract, fewer forwards
-    # because corrections quote the report being corrected (measured
-    # acceptance 2.5 tok/forward, tools/spec_acceptance.py; batched
-    # economics in docs/PERF.md "Batched speculative decoding"). bf16 KV
-    # only (forced inside the spec ring); test.py flag --corr_spec.
+    corr_spec: int = 0      # >0: run the correction pass BATCHED through
+    # batched speculation (decode/spec_ring.SpecCompactBatcher,
+    # spec_k=corr_spec, 8 lanes) instead of the reference's batch-1 loop
+    # (test.py:440) — token-identical to greedy by the verify contract,
+    # fewer forwards because corrections quote the report being corrected
+    # (measured acceptance 2.5 tok/forward, tools/spec_acceptance.py;
+    # batched economics in docs/PERF.md "Batched speculative decoding").
+    # The compact batcher follows the pipeline's KV dtype — on the
+    # quantized serving default the pass runs on the int8 cache (only the
+    # non-compact SpecRingBatcher is bf16-only); test.py flag --corr_spec.
     do_cp_bin_qa: bool = False
     do_cp_all_qa: bool = False
     batch_size: int = EVAL_BATCH
@@ -160,9 +162,10 @@ def run_correction_pass(pipe, records, preds_history, pred_labels, gt_labels,
                                  pred_labels, gt_labels)
     corrected: List[str] = []
     if opts.corr_spec > 0:
-        # batched speculative ring: all correction turns stream through one
-        # SpecRingBatcher (token-identical to the batch-1 greedy loop)
-        embs = (np.concatenate([emb_provider([r["dicom"]]) for r in records])
+        # batched speculation: all correction turns stream through one
+        # SpecCompactBatcher (token-identical to the batch-1 greedy loop;
+        # cache dtype follows the pipeline's kv_int8 setting)
+        embs = (emb_provider([r["dicom"] for r in records])
                 if opts.use_embs and emb_provider else None)
         decoded = pipe.generate_texts_ring(prompts, max_new_tokens=256,
                                            lanes=8, img_embs=embs,

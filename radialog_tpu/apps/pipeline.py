@@ -437,8 +437,11 @@ class RaDialogPipeline:
         if spec_k is not None:
             from ..decode.spec_ring import SpecCompactBatcher
             # plain-decode-sized cache + (k+1) scratch; keep the parent
-            # ring-life guard satisfied (chunk-rounded span + headroom)
-            gen = max(-(-(max_new + spec_k + 1) // 32) * 32, nv + 32)
+            # ring-life guard satisfied (chunk-rounded span + headroom).
+            # Final ceil-to-32: nv is a steps_per_call multiple, not a
+            # 32-multiple, and int8 lane-cache lengths must be 32-multiples
+            # (flash-decode block rule — tpad already is one)
+            gen = -(-max(max_new + spec_k + 1, nv + 32) // 32) * 32
             rb = SpecCompactBatcher(self.llama, self.llama_cfg,
                                     lanes=min(lanes, len(ids)),
                                     cache_len=tpad + gen, prompt_len=tpad,
@@ -456,9 +459,11 @@ class RaDialogPipeline:
                              lora=self.lora, policy=self.policy,
                              steps_per_call=steps_per_call,
                              kv_int8=self.cfg.use_kv_int8())
-        embs = (None if img_embs is None
-                else jnp.asarray(img_embs).reshape(
-                    len(ids), 1, *jnp.asarray(img_embs).shape[-2:]))
+        if img_embs is None:
+            embs = None
+        else:
+            e = jnp.asarray(img_embs)   # one H2D transfer, reused for shape
+            embs = e.reshape(len(ids), 1, *e.shape[-2:])
         sids = [rb.submit(x, img_embs=None if embs is None else embs[i])
                 for i, x in enumerate(ids)]
         done = rb.run()

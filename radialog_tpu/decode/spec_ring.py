@@ -378,7 +378,7 @@ class SpecCompactBatcher(SpecRingBatcher):
         proposer = (self._proposer if self._proposer is not None
                     else partial(ngram_propose, k=k, m=m))
 
-        def relocate(buf, dest, rows_axis2=True):
+        def relocate(buf, dest):
             # static window slice -> masked scatter to per-lane frontiers.
             # buf: (L, B, S, ...) (axis 2 = slots); dest: (B, kp1) slot ids,
             # already set to S (dropped) for rejected/garbage rows.

@@ -30,9 +30,10 @@ def parse_args():
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--do_corr", action="store_true", default=False)
     p.add_argument("--corr_spec", type=int, default=0,
-                   help="k>0: batch the correction pass through the "
-                        "speculative ring (SpecRingBatcher, token-identical "
-                        "to the batch-1 greedy loop; docs/PERF.md)")
+                   help="k>0: batch the correction pass through batched "
+                        "speculation (SpecCompactBatcher, token-identical "
+                        "to the batch-1 greedy loop, follows the pipeline's "
+                        "KV dtype; docs/PERF.md)")
     p.add_argument("--do_cp_bin_qa", action="store_true", default=False)
     p.add_argument("--do_cp_all_qa", action="store_true", default=False)
     p.add_argument("--strat_eval", action="store_true", default=False)

@@ -63,6 +63,12 @@ def main() -> None:
                     help="int8 KV cache (compact mode only — the ring's "
                          "interval contract cannot encode acceptance holes)")
     args = ap.parse_args()
+    if args.kv_int8 and not args.compact:
+        # fail BEFORE the plain mode's minutes of 7B build+compile: the
+        # non-compact ring would only reject the combination in its
+        # constructor, after the baseline was already measured
+        ap.error("--kv-int8 requires --compact (the ring's interval "
+                 "contract cannot encode acceptance holes)")
 
     import jax
     import jax.numpy as jnp
