@@ -435,7 +435,7 @@ def flash_decode_int8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     live-bound clamp and the gl-wide DMA compose, until the grouped
     (gl x bs)-row blocks grow past the double-buffering sweet spot
     (docs/PERF.md "Lane grouping"). Bitwise-exact vs gl=1 on TPU at every
-    setting (tests + the round-5 smoke).
+    setting (tests + `tools/tpu_smoke.py`, the repeatable real-chip check).
     Resolved DOWN to the largest divisor of B <= the request; forced to 1
     when current/write_cache is used (the slab write is per-lane).
     NOTE: like RADIALOG_FLASH_DECODE_FORCE/RADIALOG_FLASH_BS (and
