@@ -24,9 +24,8 @@ import numpy as np
 
 from ..data.tokenization import (WhitespaceTokenizer, load_vicuna_tokenizer,
                                  pad_batch_right)
-from ..decode.engine import (DecodeParams, generate_fused_jit,
-                             generate_shared_jit)
-from ..decode.kvcache import bucket_length
+from ..decode.engine import (DecodeParams, default_cache_len,
+                             generate_fused_jit, generate_shared_jit)
 from ..models.bert import BertConfig
 from ..models.biovil_t import biovil_t_apply, biovil_t_init, patch_tokens_for_qformer
 from ..models.blip2 import Blip2Config, blip2_forward_image
@@ -348,7 +347,7 @@ class RaDialogPipeline:
             eos_token_id=self.tokenizer.eos_token_id,
             do_sample=do_sample, temperature=temperature, seed=self.cfg.seed,
             unroll=1 if num_beams > 1 else unroll)
-        cache_len = bucket_length(tokens.shape[1] + dp.max_new_tokens)
+        cache_len = default_cache_len(tokens.shape[1], dp)
         if num_beams > 1:
             from ..decode.beam import generate_beam
             res = generate_beam(self.llama, self.llama_cfg,
@@ -365,7 +364,7 @@ class RaDialogPipeline:
             p0, img_in_prefix = sp
             rems = [s[p0:] for s in ids]
             tokens, lengths = pad_batch_right(rems, _pad_id(self.tokenizer))
-            cache_len = bucket_length(tokens.shape[1] + dp.max_new_tokens)
+            cache_len = default_cache_len(tokens.shape[1], dp)
             res = generate_shared_jit(
                 self.llama, self.llama_cfg,
                 jnp.asarray(np.asarray(ids[0][:p0], np.int32)),

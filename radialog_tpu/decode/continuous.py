@@ -211,7 +211,13 @@ class ContinuousBatcher:
             self.steps[lane] = 1
             self.last_tok[lane] = first
             sess.tokens.append(first)
-            if first == self.dp.eos_token_id:
+            # eos OR the budget already spent: the prefill token counts as
+            # step 1, so max_new_tokens=1 must finish here — checking the
+            # cap only in step() (after appending a second token) emitted
+            # max_new+1 tokens for 1-token requests (engine.generate
+            # returns exactly max_new)
+            if (first == self.dp.eos_token_id
+                    or self.steps[lane] >= sess.max_new_tokens):
                 sess.done = True
                 self.finished[sess.sid] = sess
                 self.lane_session[lane] = None
@@ -251,6 +257,11 @@ class RingBatcher:
     default for real deployments; admission then happens every k tokens.
     """
 
+    # the generation region rotates (KV slots are reused modulo ring_len);
+    # subclasses that replace the rotation with linear frontiers
+    # (SpecCompactBatcher) set this False to disable the ring-span guards
+    _ring_wraps = True
+
     def __init__(self, params: Dict, cfg: LlamaConfig, lanes: int = 4,
                  cache_len: int = 512, prompt_len: int = 256,
                  dp: DecodeParams = DecodeParams(),
@@ -277,9 +288,14 @@ class RingBatcher:
         ring_len = cache_len - prompt_len
         k = steps_per_call
         # a session occupies ceil((max_new-1)/k) chunks = that many * k ring
-        # advances; the ring must not wrap onto its own live slots
+        # advances; the ring must not wrap onto its own live slots.
+        # _ring_wraps=False subclasses (SpecCompactBatcher) replace the
+        # rotating ring with linear per-lane frontiers + a fixed scratch
+        # window — their capacity bound is gen_cap, checked in their own
+        # __init__/validate_request, and this guard would spuriously
+        # reject configurations that fit the compact geometry.
         life = -(-max(dp.max_new_tokens - 1, 1) // k) * k
-        if life >= ring_len:
+        if type(self)._ring_wraps and life >= ring_len:
             raise ValueError(
                 f"generation ring ({cache_len}-{prompt_len}={ring_len} slots)"
                 f" must exceed a session's ring span {life} "
@@ -473,7 +489,7 @@ class RingBatcher:
         # the validity mask still marks the overwritten slots live.
         k = self.steps_per_call
         life = -(-max(max_new - 1, 1) // k) * k
-        if life >= self.ring_len:
+        if type(self)._ring_wraps and life >= self.ring_len:
             raise ValueError(
                 f"max_new_tokens {max_new} needs {life} ring writes "
                 f"(rounded up to steps_per_call={k} chunks) >= ring "
@@ -500,7 +516,9 @@ class RingBatcher:
             self.prompt_lens[lane] = t
             self.ring_writes[lane] = 0
             sess.tokens.append(first)
-            if first == self.dp.eos_token_id:
+            # same 1-token-budget rule as ContinuousBatcher._admit above
+            if (first == self.dp.eos_token_id
+                    or self.steps[lane] >= sess.max_new_tokens):
                 sess.done = True
                 self.finished[sess.sid] = sess
                 self.lane_session[lane] = None

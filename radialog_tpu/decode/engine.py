@@ -55,6 +55,17 @@ class GenerationResult(NamedTuple):
     prompt_lengths: jax.Array
 
 
+def default_cache_len(t: int, dp: DecodeParams) -> int:
+    """Bucketized cache length for a t-token prompt, INCLUDING the
+    unroll>2 phantom-sub-step headroom decode_loop enforces (its deepest
+    phantom forward writes slot t + max_new + unroll - 3; without the
+    max(0, unroll - 2) term a prompt whose t + max_new lands exactly on
+    a bucket boundary raised 'cache too small for unroll k' at the
+    serving default unroll=3 — e.g. test.py --max_new_tokens 256 with a
+    prompt padding to 128)."""
+    return bucket_length(t + dp.max_new_tokens + max(0, dp.unroll - 2))
+
+
 def prefill(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
             lengths: jax.Array, cache_len: int,
             img_embs: Optional[jax.Array] = None,
@@ -200,7 +211,7 @@ def generate_shared_prefix(params: Dict, cfg: LlamaConfig,
     b, t1 = tokens.shape
     p0 = prefix_tokens.shape[0]
     if cache_len is None:
-        cache_len = bucket_length(t1 + dp.max_new_tokens)
+        cache_len = default_cache_len(t1, dp)
     if img_embs is not None and img_embs.shape[1] != cfg.num_img_tokens:
         raise ValueError(
             f"img_embs provides {img_embs.shape[1]} embeddings but the "
@@ -430,7 +441,7 @@ def generate(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     params only) — halves cache memory + attention traffic."""
     t = tokens.shape[1]
     if cache_len is None:
-        cache_len = bucket_length(t + dp.max_new_tokens)
+        cache_len = default_cache_len(t, dp)
     cache, last = prefill(params, cfg, tokens, lengths, cache_len,
                           img_embs=img_embs, lora=lora, policy=policy,
                           kv_int8=kv_int8, axis_name=axis_name)
@@ -506,7 +517,7 @@ def generate_two_phase(params: Dict, cfg: LlamaConfig, tokens: jax.Array,
     prefix-cached sessions reuse prefill_jit/decode_loop_jit directly)."""
     t = tokens.shape[1]
     if cache_len is None:
-        cache_len = bucket_length(t + dp.max_new_tokens)
+        cache_len = default_cache_len(t, dp)
     cache, last = prefill_jit(params, cfg, tokens, lengths, cache_len,
                               img_embs=img_embs, lora=lora, policy=policy,
                               kv_int8=kv_int8)

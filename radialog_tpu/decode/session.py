@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.llama import (KVCache, LlamaConfig, find_img_start, init_cache,
+from ..models.llama import (LlamaConfig, find_img_start, init_cache,
                             llama_apply)
 from ..ops.attention import causal_mask_bias
 from ..ops.layers import DTypePolicy, FP32
@@ -231,14 +231,3 @@ class InteractiveSession:
         self._last_logits = None
         return new_ids
 
-
-def decode_loop_with_cache(params, cfg, cache, first_logits, prompt_lengths,
-                           dp, lora=None, policy=FP32, prompt_pad=None):
-    """decode_loop variant that also returns the final cache (the engine's
-    decode_loop drops it; sessions need it to continue the conversation)."""
-    from .engine import _decode_loop_with_cache
-
-    res, cache = _decode_loop_with_cache(params, cfg, cache, first_logits,
-                                         prompt_lengths, dp, lora=lora,
-                                         policy=policy, prompt_pad=prompt_pad)
-    return res.tokens, res.lengths, cache

@@ -121,8 +121,16 @@ class SpecRingBatcher(RingBatcher):
                          prompt_len=prompt_len, dp=dp, lora=lora,
                          policy=policy, steps_per_call=steps_per_call,
                          donate_cache=donate_cache, kv_int8=False)
-        # per-lane on-device token history for the prompt-lookup drafter
-        self.hist = jnp.full((lanes, cache_len), -1, jnp.int32)
+        # per-lane on-device token history for the prompt-lookup drafter.
+        # kp1 padding columns past cache_len: the per-verify (k+1)-row
+        # append (dynamic_update_slice at hist_lens) CLAMPS its start when
+        # it would run off the end — with an exactly-cache_len buffer a
+        # lane decoding near capacity had its real history tail silently
+        # overwritten by garbage rows, degrading drafter acceptance in the
+        # long-generation tail; with the padding, clamped writes land
+        # entirely in the dead region (real history never exceeds
+        # cache_len - 1 under the admission guards)
+        self.hist = jnp.full((lanes, cache_len + spec_k + 1), -1, jnp.int32)
         self.hist_lens = np.zeros(lanes, np.int32)
         self.verifies = 0   # verify forwards run (acceptance telemetry)
 
@@ -241,6 +249,15 @@ class SpecRingBatcher(RingBatcher):
         self.hist_lens = np.array(hist_lens)
         self.last_tok = np.array(last_tok)
         self.cur_lens = np.array(cur_lens)
+        return self._drain(toks, emits, active, newly_finished)
+
+    def _drain(self, toks, emits, active, newly_finished: List[int]
+               ) -> List[int]:
+        """Host-side per-lane token append + eos/budget trim, shared by the
+        ring and compact step() variants (they differ only in the device
+        call). A lane keeps verifying to the chunk boundary after its last
+        real token; everything past eos or the max_new budget is garbage
+        the loop below never appends."""
         toks = np.asarray(toks)          # (nv, lanes, k+1)
         emits = np.asarray(emits)        # (nv, lanes)
         self.verifies += int(self.steps_per_call * active.sum())
@@ -271,7 +288,7 @@ class SpecRingBatcher(RingBatcher):
         for lane, (was, sess) in enumerate(zip(before, self.lane_session)):
             if was or sess is None:
                 continue
-            row = np.full((self.cache_len,), -1, np.int32)
+            row = np.full((self.hist.shape[1],), -1, np.int32)
             t = len(sess.prompt_ids)
             row[:t] = sess.prompt_ids
             # _admit already emitted the prefill's first token
@@ -319,6 +336,10 @@ class SpecCompactBatcher(SpecRingBatcher):
     RingBatcher guard); measured economics in docs/PERF.md.
     """
 
+    # linear frontiers + fixed window — nothing rotates; RingBatcher's
+    # ring-span guards would spuriously reject configs that fit gen_cap
+    _ring_wraps = False
+
     def __init__(self, params: Dict, cfg: LlamaConfig, lanes: int = 4,
                  cache_len: int = 512, prompt_len: int = 256,
                  dp: DecodeParams = DecodeParams(),
@@ -350,7 +371,8 @@ class SpecCompactBatcher(SpecRingBatcher):
                              steps_per_call=steps_per_call,
                              donate_cache=donate_cache, kv_int8=kv_int8)
         self.gen_cap = gen_cap
-        self.hist = jnp.full((lanes, cache_len), -1, jnp.int32)
+        # kp1 padding columns: same clamp-proofing as SpecRingBatcher.hist
+        self.hist = jnp.full((lanes, cache_len + spec_k + 1), -1, jnp.int32)
         self.hist_lens = np.zeros(lanes, np.int32)
         self.verifies = 0
 
@@ -471,25 +493,4 @@ class SpecCompactBatcher(SpecRingBatcher):
         self.hist_lens = np.array(hist_lens)
         self.last_tok = np.array(last_tok)
         self.cur_lens = np.array(cur_lens)
-        toks = np.asarray(toks)          # (nv, lanes, k+1)
-        emits = np.asarray(emits)        # (nv, lanes)
-        self.verifies += int(self.steps_per_call * active.sum())
-        for lane, sess in enumerate(self.lane_session):
-            if sess is None:
-                continue
-            for i in range(self.steps_per_call):
-                stop = False
-                for tok in toks[i, lane, :emits[i, lane]].tolist():
-                    sess.tokens.append(int(tok))
-                    self.steps[lane] += 1
-                    if (tok == self.dp.eos_token_id
-                            or self.steps[lane] >= sess.max_new_tokens):
-                        stop = True
-                        break
-                if stop:
-                    sess.done = True
-                    self.finished[sess.sid] = sess
-                    self.lane_session[lane] = None
-                    newly_finished.append(sess.sid)
-                    break
-        return newly_finished
+        return self._drain(toks, emits, active, newly_finished)

@@ -273,3 +273,24 @@ def test_validate_request_chunk_rounded_ring_bound():
     rb.validate_request(4, max_new_tokens=57)          # 56 writes < 64: ok
     with pytest.raises(ValueError):
         rb.validate_request(4, max_new_tokens=60)      # ceil(59/8)*8 = 64
+
+
+def test_one_token_budget_emits_exactly_one():
+    """Regression (round-5 review): the prefill's first token counts as
+    step 1, so max_new_tokens=1 sessions must finish at admission — the
+    old _admit only checked eos and every batcher emitted 2 tokens for a
+    1-token budget (engine.generate returns exactly max_new). Exercised
+    in production by RaDialogServer.warmup (submits max_new=steps_per_call)."""
+    from radialog_tpu.decode.continuous import RingBatcher
+    from radialog_tpu.ops.quant import quantize_llama_host
+
+    dp = DecodeParams(max_new_tokens=8, eos_token_id=-1)
+    cb = ContinuousBatcher(PARAMS, CFG, lanes=2, cache_len=96, dp=dp)
+    sid = cb.submit(list(range(3, 10)), max_new_tokens=1)
+    assert len(cb.run()[sid].tokens) == 1
+    qp = quantize_llama_host(jax.tree_util.tree_map(np.asarray, PARAMS))
+    rb = RingBatcher(qp, CFG, lanes=2, cache_len=96, prompt_len=32, dp=dp)
+    sid1 = rb.submit(list(range(3, 10)), max_new_tokens=1)
+    assert len(rb.run()[sid1].tokens) == 1
+    sid3 = rb.submit(list(range(3, 12)), max_new_tokens=3)
+    assert len(rb.run()[sid3].tokens) == 3

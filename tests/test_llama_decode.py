@@ -253,3 +253,29 @@ def test_two_phase_matches_fused_generate():
                                       np.asarray(got.tokens))
         np.testing.assert_array_equal(np.asarray(ref.lengths),
                                       np.asarray(got.lengths))
+
+
+def test_default_cache_len_has_unroll_headroom():
+    """Regression (round-5 review): generate with the serving-default
+    unroll=3 and the DEFAULT cache_len must work when t + max_new lands
+    exactly on a bucket boundary — decode_loop's phantom-sub-step check
+    needs prompt_pad + max_new + unroll - 2 <= cache_len, and the old
+    default bucket_length(t + max_new) provided zero headroom (e.g.
+    test.py --max_new_tokens 256 with a prompt padding to 128 raised
+    'cache too small for unroll 3'). engine.default_cache_len adds the
+    max(0, unroll-2) term; tokens must stay identical to unroll=1."""
+    from radialog_tpu.decode.engine import bucket_length, default_cache_len
+
+    params = _params()
+    t = 24
+    toks = jnp.asarray(RNG.integers(3, 200, (2, t)))
+    lens = jnp.full((2,), t)
+    mn = bucket_length(t + 40) - t          # t + mn == a bucket boundary
+    assert bucket_length(t + mn) == t + mn
+    dp3 = DecodeParams(max_new_tokens=mn, eos_token_id=-1, unroll=3)
+    assert default_cache_len(t, dp3) > t + mn
+    got = generate(params, CFG, toks, lens, dp3)        # default cache_len
+    ref = generate(params, CFG, toks, lens,
+                   DecodeParams(max_new_tokens=mn, eos_token_id=-1))
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))

@@ -229,3 +229,24 @@ class TestSpecCompact:
         rb = self._compact()
         with pytest.raises(ValueError, match="exceeds the generation"):
             rb.validate_request(8, max_new_tokens=61)
+
+
+def test_compact_accepts_configs_the_ring_guard_rejects():
+    """Regression (round-5 review): SpecCompactBatcher replaces the
+    rotating ring with linear frontiers + a fixed scratch window, so
+    RingBatcher's ring-span guard must not apply (_ring_wraps=False). The
+    shape below fits the compact geometry (gen_cap=251 >= max_new=250)
+    but the inherited guard used to raise 'must exceed a session's ring
+    span' (life=256 >= ring_len=256). Constructor-only: the compile-heavy
+    paths are pinned elsewhere."""
+    from radialog_tpu.decode.spec_ring import SpecCompactBatcher, SpecRingBatcher
+
+    dp = DecodeParams(max_new_tokens=250, eos_token_id=-1)
+    b = SpecCompactBatcher(PARAMS, CFG, lanes=2, cache_len=512,
+                           prompt_len=256, dp=dp, steps_per_call=16,
+                           spec_k=4)
+    b.validate_request(8)               # also ring-guard-free
+    assert b.gen_cap == 251
+    with pytest.raises(ValueError, match="ring"):
+        SpecRingBatcher(PARAMS, CFG, lanes=2, cache_len=512,
+                        prompt_len=256, dp=dp, steps_per_call=16, spec_k=4)
