@@ -137,6 +137,17 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if quantized:
+        if cfg.num_kv_heads != cfg.num_heads:
+            # the int8 decode paths (_attention_int8_kv + the flash-decode
+            # kernel's block-diagonal q) index the token-flat cache by the
+            # QUERY head count — GQA would need an in-kernel head-group
+            # broadcast that is not built. The bf16 paths support GQA
+            # (jnp.repeat in _attention_block); fail here with the real
+            # constraint instead of a shape error at first decode.
+            raise NotImplementedError(
+                f"int8 KV cache requires num_kv_heads == num_heads "
+                f"(got {cfg.num_kv_heads} != {cfg.num_heads}); use the "
+                f"bf16 cache (kv_int8=False) for GQA configs")
         flat = shape[:3] + (cfg.num_kv_heads * cfg.head_dim,)
         sc = shape[:3] + (scale_lanes(cfg.num_kv_heads),)
         return KVCache(jnp.zeros(flat, jnp.int8), jnp.zeros(flat, jnp.int8),
@@ -154,6 +165,12 @@ def quantize_kv(x: jax.Array,
     scale. bf16 default matches the KVCache scale buffers (see KVCache on why
     f32 loop-carried scales trigger XLA's remat-compression cliff); the
     transient q/p quantizations inside attention pass f32.
+
+    CONTRACT: at scale_dtype=f32 this must stay bitwise-identical to
+    ops/q8_matmul.quantize_act and to the inline q-quantization in
+    ops/flash_decode.flash_decode_int8 — the int8-KV exactness tests
+    compare kernel vs reference paths that quantize q independently
+    (pinned by tests/test_quant.py::test_act_quant_implementations_agree).
     """
     xf = x.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
@@ -572,6 +589,23 @@ def _attention_int8_kv(q: jax.Array, cache: KVCache, layer_idx,
          * ks.transpose(0, 2, 1)[:, :, None, :] * scale)
     if bias is not None:
         s = s + bias.astype(jnp.float32)
+    elif slot_info is not None and lengths is not None:
+        # kernel-path parity: the Pallas path ignores bias and masks from
+        # slot_info; without this branch a bias=None caller got SILENT
+        # garbage attention over uninitialized pad-gap slots on the
+        # fallback. Same validity rule as ops/flash_decode.py _kernel:
+        # prompt region | generated interval(s).
+        pos = jnp.arange(s_max)[None, :]
+        if len(slot_info) == 2:
+            pp, st = slot_info
+            valid = ((pos < lengths[:, None])
+                     | ((pos >= pp) & (pos <= pp + st)))
+        else:
+            a1, b1, a2, b2 = slot_info
+            valid = ((pos < lengths[:, None])
+                     | ((pos >= a1[:, None]) & (pos <= b1[:, None]))
+                     | ((pos >= a2[:, None]) & (pos <= b2[:, None])))
+        s = jnp.where(valid[:, None, None, :], s, NEG_INF)
     if shared_layer is not None:
         # prefix scores: (q8 . k0_8) * qs * ks0 — same int8 math as the
         # per-lane region; one softmax over the concatenation

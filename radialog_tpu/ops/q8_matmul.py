@@ -15,9 +15,12 @@ Decode is HBM-bound; the design keeps the weight traffic int8 end to end:
     y = acc * x_scale[:,None] * w_scale[None,:] — an (M, N) elementwise op
     XLA fuses into the surrounding graph.
 
-N is zero-padded to the tile width at pack time (sliced off after); bk is
-chosen as an exact divisor of K (2048 for 4096, 1376 for 11008) so K needs no
-padding for the LLaMA shapes.
+N is zero-padded to the tile width at pack time (sliced off after). bk
+(pick_bk) must be a multiple of 128 (lane constraint on the activation
+block): 2048 divides K=4096 exactly; K=11008 has no 128-multiple divisor
+<= 2048, so it takes bk=1024 with 256 zero-padded K rows (~2.3% extra
+int8 bytes on the down-projection — padded at pack time, matched by
+zero-padded activation rows at call time).
 """
 from __future__ import annotations
 
@@ -86,14 +89,6 @@ def pack_q8(w: np.ndarray, bn: int = TILE_BN, b=None,
     w_t = (w_q.reshape(kp // bk, bk, np_ // bn, bn)
            .transpose(0, 2, 1, 3).copy())
     return PackedQ8(w_t, scale, n, b)
-
-
-def pack_q8_stacked(w: np.ndarray, bn: int = TILE_BN) -> PackedQ8:
-    """(L, K, N) float -> PackedQ8 with leading layer axis on every child
-    (for the lax.scan-over-layers LLaMA layout)."""
-    parts = [pack_q8(w[i], bn) for i in range(w.shape[0])]
-    return PackedQ8(np.stack([p.w_t for p in parts]),
-                    np.stack([p.scale for p in parts]), parts[0].n)
 
 
 def quantize_act(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -184,9 +179,9 @@ def q8_matmul_reference(x: jax.Array, packed: PackedQ8,
     kt, nt, bk, bn = packed.w_t.shape[-4:]
     if kt * bk != k:
         x8 = jnp.pad(x8, ((0, 0), (0, kt * bk - k)))
-    w_t = packed.w_t
-    w_q = w_t.transpose(*range(w_t.ndim - 4), w_t.ndim - 4, w_t.ndim - 2,
-                        w_t.ndim - 3, w_t.ndim - 1).reshape(kt * bk, nt * bn)
+    # packed.w_t is always 4-D (kt, nt, bk, bn): the stacked-layout pack
+    # helper this once generalized over was dead code and is removed
+    w_q = packed.w_t.transpose(0, 2, 1, 3).reshape(kt * bk, nt * bn)
     acc = jax.lax.dot_general(x8.astype(jnp.int32), w_q.astype(jnp.int32),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)

@@ -599,3 +599,49 @@ def test_default_gl_rule():
     assert default_gl(256) == 4
     for bs in (32, 64, 96, 128, 192, 256):
         assert default_gl(bs, intervals=True) == 1
+
+def test_init_cache_int8_rejects_gqa():
+    """Round-5 review: the int8 decode paths index the token-flat cache by
+    the QUERY head count — GQA configs must fail with the real constraint
+    at allocation, not a shape error at first decode."""
+    import dataclasses
+    gqa = dataclasses.replace(TINY_LLAMA, num_kv_heads=TINY_LLAMA.num_heads // 2)
+    from radialog_tpu.models.llama import init_cache
+    init_cache(gqa, 2, 64)                                  # bf16: fine
+    with pytest.raises(NotImplementedError, match="num_kv_heads"):
+        init_cache(gqa, 2, 64, quantized=True)
+
+
+def test_int8_fallback_masks_from_slot_info_without_bias():
+    """Round-5 review: the XLA fallback of _attention_int8_kv must mask
+    from slot_info when bias is None, exactly like the kernel path does —
+    it used to silently attend every cache slot (incl. uninitialized
+    pad-gap rows). bias-provided and slot_info-only calls must agree."""
+    from radialog_tpu.models.llama import (_attention_int8_kv,
+                                           decode_bias_static_slot,
+                                           init_cache, quantize_kv,
+                                           pad_scale_lanes)
+
+    cfg = TINY_LLAMA
+    b, s, nh, hd = 3, 32, cfg.num_heads, cfg.head_dim
+    rng = np.random.default_rng(5)
+    cache = init_cache(cfg, b, s, quantized=True)
+    kf = jnp.asarray(rng.normal(size=(cfg.num_layers, b, s, nh, hd)),
+                     jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(cfg.num_layers, b, s, nh, hd)),
+                     jnp.float32)
+    k8, ks = quantize_kv(kf)
+    v8, vs = quantize_kv(vf)
+    cache = type(cache)(k8.reshape(cfg.num_layers, b, s, nh * hd),
+                        v8.reshape(cfg.num_layers, b, s, nh * hd),
+                        pad_scale_lanes(ks), pad_scale_lanes(vs))
+    q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
+    lengths = jnp.asarray([5, 9, 7], jnp.int32)
+    pp, st = 12, 4
+    bias = decode_bias_static_slot(lengths, pp, st, s)
+    with_bias = _attention_int8_kv(q, cache, 0, bias, hd, lengths=lengths,
+                                   slot_info=(pp, st))
+    no_bias = _attention_int8_kv(q, cache, 0, None, hd, lengths=lengths,
+                                 slot_info=(pp, st))
+    np.testing.assert_allclose(np.asarray(no_bias), np.asarray(with_bias),
+                               rtol=1e-6, atol=1e-6)

@@ -99,3 +99,28 @@ class TestPackedQ8:
         got, _ = llama_apply(qp, cfg, toks, positions, bias)
         agree = (np.asarray(ref).argmax(-1) == np.asarray(got).argmax(-1)).mean()
         assert agree > 0.7, f"greedy agreement {agree}"
+
+
+def test_act_quant_implementations_agree():
+    """Three per-row symmetric int8 quantizers exist (round-5 review):
+    models/llama.quantize_kv (the cache + attention transients),
+    ops/q8_matmul.quantize_act (the W8A8 activation path), and the inline
+    q-quantization inside ops/flash_decode.flash_decode_int8. The int8-KV
+    kernel-vs-reference exactness tests only hold while all three round
+    identically (scale = max|x|/127 rounded to the scale dtype FIRST, then
+    divide by the rounded value, clip +-127) — pin quantize_kv(f32) ==
+    quantize_act bitwise so a future tweak to one cannot silently
+    desynchronize them (the flash_decode copy is covered transitively by
+    the kernel-exactness tests in test_kv_int8.py)."""
+    import jax.numpy as jnp
+    from radialog_tpu.models.llama import quantize_kv
+    from radialog_tpu.ops.q8_matmul import quantize_act
+
+    rng = np.random.default_rng(11)
+    for shape, scale in (((7, 64), 1.0), ((3, 5, 128), 40.0),
+                         ((4, 32), 1e-4)):
+        x = jnp.asarray(rng.normal(size=shape) * scale, jnp.float32)
+        a8, ascale = quantize_act(x)
+        k8, kscale = quantize_kv(x, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a8), np.asarray(k8))
+        np.testing.assert_array_equal(np.asarray(ascale), np.asarray(kscale))
